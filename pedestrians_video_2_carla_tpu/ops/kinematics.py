@@ -1,0 +1,161 @@
+"""CARLA-skeleton forward kinematics as batched level-parallel XLA ops.
+
+Replaces the reference's per-frame Python recursion over the 26-bone tree
+(``walker_control/p3d_pose.py:98-213``: ``__move_to_relative`` bmm +
+``__transform_descendants`` recursive 4x4 composition) with a TPU-first design:
+
+* bones at the same tree depth are independent, so the FK is 8 static "level"
+  steps of batched 3x3 matmuls over arbitrarily many (batch x frame) poses at
+  once — no Python loop over frames or bones at trace time, no dynamic shapes;
+* the across-frame accumulation of relative rotations (reference
+  ``modules/layers/projection.py:170-195`` sequential clip loop) is a single
+  ``lax.associative_scan`` matrix cumproduct — O(log L) depth instead of O(L);
+* everything composes with vmap/pjit and differentiates cleanly.
+
+Conventions (identical to reference): row-vector matrices, P3D coordinates
+(x, y, -z vs CARLA), ``abs_rot = rel_rot @ parent_abs_rot``,
+``abs_loc = rel_loc @ parent_abs_rot + parent_abs_loc``.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..skeletons.carla import NUM_BONES, PARENTS, TOPO_LEVELS
+from .rotations import mm
+
+# Precomputed static gather indices: per level, the bone ids and their parents.
+_LEVEL_BONES = [np.asarray(lv, dtype=np.int32) for lv in TOPO_LEVELS]
+_LEVEL_PARENTS = [PARENTS[lv].astype(np.int32) for lv in TOPO_LEVELS]
+
+
+def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Relative pose -> absolute pose (both root-relative "component" space).
+
+    :param rel_loc: (..., 26, 3) relative bone locations.
+    :param rel_rot: (..., 26, 3, 3) relative bone rotation matrices.
+    :return: ``(abs_loc (..., 26, 3), abs_rot (..., 26, 3, 3))``.
+
+    Matches reference ``P3dPose.relative_to_absolute`` (`p3d_pose.py:151-184`)
+    to float32 precision; validated against the UE4-exported golden absolute
+    pose in ``tests/ops/test_kinematics.py``.
+    """
+    rel_loc = jnp.asarray(rel_loc)
+    rel_rot = jnp.asarray(rel_rot)
+    if rel_loc.shape[-2] != NUM_BONES or rel_rot.shape[-3] != NUM_BONES:
+        # out-of-bounds gathers would otherwise clamp silently under jit
+        raise ValueError(
+            f"forward_kinematics expects {NUM_BONES} bones, got "
+            f"loc {rel_loc.shape} / rot {rel_rot.shape}")
+    abs_loc = rel_loc
+    abs_rot = rel_rot
+    # level 0 is the root: parent is the identity transform, so abs == rel.
+    for bones, parents in zip(_LEVEL_BONES[1:], _LEVEL_PARENTS[1:]):
+        parent_rot = abs_rot[..., parents, :, :]
+        parent_loc = abs_loc[..., parents, :]
+        new_rot = mm(rel_rot[..., bones, :, :], parent_rot)
+        # row-vector: loc' = loc @ R_parent + loc_parent
+        new_loc = jnp.einsum("...ij,...ijk->...ik",
+                             rel_loc[..., bones, :], parent_rot,
+                             precision=jax.lax.Precision.HIGHEST) + parent_loc
+        abs_rot = abs_rot.at[..., bones, :, :].set(new_rot)
+        abs_loc = abs_loc.at[..., bones, :].set(new_loc)
+    return abs_loc, abs_rot
+
+
+def move(changes_matrix: jnp.ndarray, prev_relative_rot: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-bone rotation changes to relative rotations:
+    ``new_rel = change @ prev_rel`` (reference ``p3d_pose.py:98-114``)."""
+    return mm(changes_matrix, prev_relative_rot)
+
+
+def accumulate_pose_changes(pose_changes: jnp.ndarray,
+                            initial_rel_rot: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate per-frame rotation changes into per-frame relative rotations.
+
+    Frame t's relative rotation is ``C_t @ C_{t-1} @ ... @ C_0 @ R_init`` (the
+    reference applies ``move`` frame-by-frame carrying the previous relative
+    rotation forward, ``modules/layers/projection.py:170-195``).
+
+    :param pose_changes: (B, L, 26, 3, 3) rotation-change matrices.
+    :param initial_rel_rot: (B, 26, 3, 3) starting relative rotations.
+    :return: (B, L, 26, 3, 3) per-frame relative rotations.
+    """
+    # associative operator: a ⊕ b = b @ a  =>  scan_t = C_t @ ... @ C_0
+    cum = jax.lax.associative_scan(lambda a, b: mm(b, a), pose_changes, axis=1)
+    return mm(cum, initial_rel_rot[:, None])
+
+
+def relative_pose_over_clip(pose_changes: jnp.ndarray,
+                            rel_loc: jnp.ndarray,
+                            rel_rot: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pose-changes input -> per-frame (rel_loc, rel_rot, abs pose).
+
+    Equivalent of calling reference ``P3dPose.forward`` (`p3d_pose.py:186-213`)
+    once per frame, but batched over the whole clip.
+
+    :param pose_changes: (B, L, 26, 3, 3)
+    :param rel_loc: (B, 26, 3) reference skeleton relative locations (constant).
+    :param rel_rot: (B, 26, 3, 3) initial relative rotations.
+    :return: (rel_rot_seq (B,L,26,3,3), abs_loc (B,L,26,3), abs_rot (B,L,26,3,3))
+    """
+    rel_rot_seq = accumulate_pose_changes(pose_changes, rel_rot)
+    clip_length = pose_changes.shape[1]
+    rel_loc_seq = jnp.broadcast_to(
+        rel_loc[:, None], (rel_loc.shape[0], clip_length) + rel_loc.shape[1:])
+    abs_loc, abs_rot = forward_kinematics(rel_loc_seq, rel_rot_seq)
+    return rel_rot_seq, abs_loc, abs_rot
+
+
+def world_from_changes(clip_shape: Tuple[int, int],
+                       world_loc_change: Optional[jnp.ndarray] = None,
+                       world_rot_change: Optional[jnp.ndarray] = None,
+                       initial_world_loc: Optional[jnp.ndarray] = None,
+                       initial_world_rot: Optional[jnp.ndarray] = None,
+                       dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-track accumulation over the clip (reference
+    ``utils/world.py:16-63`` sequential loop -> cumsum + associative matrix scan).
+
+    ``W_rot_t = W_rot_init @ C_1 @ ... @ C_t``; ``W_loc_t = W_loc_init + sum(dl)``.
+
+    :param clip_shape: (batch_size, clip_length).
+    :return: (world_loc (B, L, 3), world_rot (B, L, 3, 3)).
+    """
+    batch_size, clip_length = clip_shape
+    if initial_world_loc is None:
+        initial_world_loc = jnp.zeros((batch_size, 3), dtype=dtype)
+    if initial_world_rot is None:
+        initial_world_rot = jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), (batch_size, 3, 3))
+
+    if world_loc_change is None and world_rot_change is None:
+        return (jnp.broadcast_to(initial_world_loc[:, None],
+                                 (batch_size, clip_length, 3)),
+                jnp.broadcast_to(initial_world_rot[:, None],
+                                 (batch_size, clip_length, 3, 3)))
+
+    if world_loc_change is None:
+        world_loc = jnp.broadcast_to(
+            initial_world_loc[:, None], (batch_size, clip_length, 3))
+    else:
+        world_loc = initial_world_loc[:, None] + \
+            jnp.cumsum(world_loc_change, axis=1)
+
+    if world_rot_change is None:
+        world_rot = jnp.broadcast_to(
+            initial_world_rot[:, None], (batch_size, clip_length, 3, 3))
+    else:
+        # right-multiplication cumulative product, associative
+        cum = jax.lax.associative_scan(
+            lambda a, b: mm(a, b), world_rot_change, axis=1)
+        world_rot = mm(initial_world_rot[:, None], cum)
+    return world_loc, world_rot
+
+
+__all__ = [
+    "NUM_BONES", "forward_kinematics", "move", "accumulate_pose_changes",
+    "relative_pose_over_clip", "world_from_changes",
+]
