@@ -134,8 +134,7 @@ def project_pose(camera: PinholeCamera,
     world_x = mm(abs_pose_loc, jnp.asarray(P3D_2_WORLD))
     if world_rot is not None:
         # (..., J, 3) @ (..., 3, 3) with the joint axis riding along
-        world_x = jnp.einsum("...jk,...kl->...jl", world_x, world_rot,
-                             precision=jax.lax.Precision.HIGHEST)
+        world_x = mm(world_x[..., None, :], world_rot[..., None, :, :])[..., 0, :]
     if world_loc is not None:
         world_x = world_x + world_loc[..., None, :]
     return camera.project(world_x)

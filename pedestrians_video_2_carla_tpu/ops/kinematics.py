@@ -57,9 +57,10 @@ def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray
         parent_loc = abs_loc[..., parents, :]
         new_rot = mm(rel_rot[..., bones, :, :], parent_rot)
         # row-vector: loc' = loc @ R_parent + loc_parent
-        new_loc = jnp.einsum("...ij,...ijk->...ik",
-                             rel_loc[..., bones, :], parent_rot,
-                             precision=jax.lax.Precision.HIGHEST) + parent_loc
+        # (expressed as (W,1,3)@(W,3,3) matmul rather than einsum: XLA CPU's
+        # algebraic simplifier miscompiles the grad of the einsum form)
+        new_loc = mm(rel_loc[..., bones, None, :], parent_rot)[..., 0, :] \
+            + parent_loc
         abs_rot = abs_rot.at[..., bones, :, :].set(new_rot)
         abs_loc = abs_loc.at[..., bones, :].set(new_loc)
     return abs_loc, abs_rot

@@ -1,0 +1,134 @@
+"""Fused differentiable projection pipeline: model output -> 3D pose -> world
+placement -> 2D screen projection, fully batched over (batch, frame).
+
+Re-designs reference ``modules/layers/projection.py:19-226`` (``ProjectionModule``):
+instead of building one ``ControlledPedestrian`` Python object per clip per batch
+and looping frames (`projection.py:52-71,107-114,170-195`), the per-clip reference
+skeleton is selected by an age/gender gather on stacked tensors, the across-frame
+rotation recurrence is an associative scan, and the whole pipeline is one
+jit-compiled pure function — differentiable end-to-end for the 2D/3D losses.
+"""
+from typing import Dict, NamedTuple, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ..flows.output_types import (MovementsModelOutputType,
+                                  TrajectoryModelOutputType)
+from ..skeletons.carla import reference_poses_tensor
+from . import camera as C
+from . import kinematics as K
+from .reference_skeletons import denormalize_from_abs
+
+
+class ProjectionState(NamedTuple):
+    """Per-batch constants the projection needs (reference builds these in
+    ``on_batch_start``, `projection.py:52-71`)."""
+    rel_loc: jnp.ndarray            # (B, 26, 3) reference relative locations
+    rel_rot: jnp.ndarray            # (B, 26, 3, 3) reference relative rotations
+    age_gender_idx: jnp.ndarray     # (B,) int index into AGE_GENDER_KEYS
+    initial_world_loc: Optional[jnp.ndarray] = None  # (B, 3)
+    initial_world_rot: Optional[jnp.ndarray] = None  # (B, 3, 3)
+
+
+def projection_state_for(age_gender_idx: jnp.ndarray) -> ProjectionState:
+    """Gather the per-clip reference skeleton tensors for a batch of
+    age/gender indices."""
+    locs, rots = reference_poses_tensor()
+    return ProjectionState(
+        rel_loc=jnp.asarray(locs)[age_gender_idx],
+        rel_rot=jnp.asarray(rots)[age_gender_idx],
+        age_gender_idx=jnp.asarray(age_gender_idx),
+    )
+
+
+class ProjectionModule:
+    """Static-config projection pipeline. Instances are cheap, stateless
+    callables safe to close over in jit."""
+
+    def __init__(self,
+                 movements_output_type: MovementsModelOutputType =
+                 MovementsModelOutputType.pose_changes,
+                 trajectory_output_type: TrajectoryModelOutputType =
+                 TrajectoryModelOutputType.changes,
+                 camera: Optional[C.PinholeCamera] = None) -> None:
+        self.movements_output_type = movements_output_type
+        self.trajectory_output_type = trajectory_output_type
+        self.camera = camera if camera is not None else C.make_camera()
+
+    def __call__(self,
+                 state: ProjectionState,
+                 pose_inputs: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
+                 world_loc_inputs: Optional[jnp.ndarray] = None,
+                 world_rot_inputs: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Returns ``(projections (B, L, J, 3), outputs dict)`` with the same
+        keys as reference ``projection.py:116-123``."""
+        mot = self.movements_output_type
+
+        relative_loc = relative_rot = absolute_rot = None
+        if mot == MovementsModelOutputType.pose_changes:
+            if pose_inputs.ndim < 5:
+                raise RuntimeError(
+                    "pose_changes input must be (B, L, J, 3, 3) rotation matrices")
+            relative_rot, absolute_loc, absolute_rot = K.relative_pose_over_clip(
+                pose_inputs, state.rel_loc, state.rel_rot)
+            clip_length = pose_inputs.shape[1]
+            relative_loc = jnp.broadcast_to(
+                state.rel_loc[:, None],
+                (state.rel_loc.shape[0], clip_length) + state.rel_loc.shape[1:])
+        elif mot == MovementsModelOutputType.relative_rot:
+            clip_length = pose_inputs.shape[1]
+            rel_loc_seq = jnp.broadcast_to(
+                state.rel_loc[:, None],
+                (state.rel_loc.shape[0], clip_length) + state.rel_loc.shape[1:])
+            absolute_loc, absolute_rot = K.forward_kinematics(
+                rel_loc_seq, pose_inputs)
+            relative_loc, relative_rot = rel_loc_seq, pose_inputs
+        elif mot == MovementsModelOutputType.absolute_loc:
+            if pose_inputs.ndim < 4:
+                raise RuntimeError(
+                    "absolute_loc input must be (B, L, J, 3) locations")
+            absolute_loc = denormalize_from_abs(
+                pose_inputs, state.age_gender_idx, autonormalize=True)
+        elif mot == MovementsModelOutputType.absolute_loc_rot:
+            if not isinstance(pose_inputs, tuple):
+                raise RuntimeError(
+                    "absolute_loc_rot input must be a (loc, rot) tuple")
+            absolute_loc = denormalize_from_abs(
+                pose_inputs[0], state.age_gender_idx, autonormalize=True)
+            absolute_rot = pose_inputs[1]
+        else:
+            raise RuntimeError(f"unsupported output type {mot}")
+
+        world_loc, world_rot = self._world(
+            state, absolute_loc, world_loc_inputs, world_rot_inputs)
+
+        projections = C.project_pose(
+            self.camera, absolute_loc, world_loc=world_loc, world_rot=world_rot)
+
+        return projections, {
+            "relative_pose_loc": relative_loc,
+            "relative_pose_rot": relative_rot,
+            "absolute_pose_loc": absolute_loc,
+            "absolute_pose_rot": absolute_rot,
+            "world_loc": world_loc,
+            "world_rot": world_rot,
+        }
+
+    def _world(self, state: ProjectionState, absolute_loc,
+               world_loc_inputs, world_rot_inputs):
+        batch_size, clip_length = absolute_loc.shape[:2]
+        if self.trajectory_output_type == TrajectoryModelOutputType.changes:
+            return K.world_from_changes(
+                (batch_size, clip_length), world_loc_inputs, world_rot_inputs,
+                state.initial_world_loc, state.initial_world_rot,
+                dtype=absolute_loc.dtype)
+        # loc_rot: direct per-frame world transforms
+        if world_loc_inputs is None:
+            world_loc_inputs = jnp.zeros(
+                (batch_size, clip_length, 3), dtype=absolute_loc.dtype)
+        if world_rot_inputs is None:
+            world_rot_inputs = jnp.broadcast_to(
+                jnp.eye(3, dtype=absolute_loc.dtype),
+                (batch_size, clip_length, 3, 3))
+        return world_loc_inputs, world_rot_inputs

@@ -19,7 +19,27 @@ import jax.numpy as jnp
 #: All rotation/FK/camera math uses 3x3 matrices where bf16 MXU rounding (the
 #: TPU matmul default) would cost ~3 decimal digits; force fp32 accumulation.
 #: These ops are tiny VPU-bound work, so HIGHEST costs nothing measurable.
-mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_mm_flat = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def mm(a, b):
+    """Batched matmul with fp32 accumulation, with ALL leading batch dims
+    flattened to one before the dot. Two reasons: (a) XLA CPU's algebraic
+    simplifier miscompiles gradients of dots with 3+ batch dims (RET_CHECK
+    transpose/dot shape failure), and (b) a single flat batch dim gives the
+    TPU compiler the simplest layout to tile."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim <= 3 and b.ndim <= 3:
+        return _mm_flat(a, b)
+    import numpy as _np
+    batch = _np.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    a2 = jnp.broadcast_to(a, batch + a.shape[-2:])
+    b2 = jnp.broadcast_to(b, batch + b.shape[-2:])
+    n = int(_np.prod(batch)) if batch else 1
+    out = _mm_flat(a2.reshape((n,) + a.shape[-2:]),
+                   b2.reshape((n,) + b.shape[-2:]))
+    return out.reshape(batch + (a.shape[-2], b.shape[-1]))
 
 
 def _axis_rotation(axis: str, angle: jnp.ndarray) -> jnp.ndarray:

@@ -153,9 +153,16 @@ def reference_poses_tensor():
     return np.stack(locs), np.stack(rots)
 
 
+#: substitutions for dataset labels not present in CARLA (reference
+#: ``transforms/pose/normalization/reference_skeletons_denormalizer.py:10-29``)
+AGE_MAPPINGS = {"adult": "adult", "child": "child",
+                "senior": "adult", "young": "child"}
+GENDER_MAPPINGS = {"female": "female", "male": "male", "neutral": "female"}
+
+
 def age_gender_to_index(age, gender) -> int:
-    """Map (age, gender) strings to an index into ``AGE_GENDER_KEYS``, with the
-    reference's fallback of unknown values to 'adult'/'female'."""
-    age = age if age in ("adult", "child") else "adult"
-    gender = gender if gender in ("female", "male") else "female"
+    """Map (age, gender) strings to an index into ``AGE_GENDER_KEYS``;
+    unknown / NaN values fall back to 'adult' / 'female'."""
+    age = AGE_MAPPINGS.get(str(age), "adult")
+    gender = GENDER_MAPPINGS.get(str(gender), "female")
     return AGE_GENDER_KEYS.index(f"{age}_{gender}")
