@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Headline benchmark: pose-lifting training throughput (clips/sec/chip) on the
+BASELINE config 1 (LinearAE, clip_length=16, CARLA skeleton in/out,
+loss=loc_2d_3d, synthetic CARLA clips, renderers=none), plus the fused
+FK+projection hot-path latency vs a CPU reference implementation that mirrors
+the upstream per-frame recursive torch pipeline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 256
+CLIP = 16
+TRAIN_STEPS = 20
+
+
+def bench_tpu_train():
+    import jax
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+
+    cfg = Carla2D3DConfig(batch_size=BATCH, clip_length=CLIP)
+    key = jax.random.PRNGKey(0)
+    batch = generate_batch(key, cfg)
+    batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d_3d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+    )
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+    train_step = jax.jit(flow.training_step, donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(2)
+    # warmup/compile
+    state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs)
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs)
+    dt = time.perf_counter() - t0
+    clips_per_sec = BATCH * TRAIN_STEPS / dt
+
+    # fused FK+projection alone (the reference's hot loops 1-3)
+    from pedestrians_video_2_carla_tpu.flows.output_types import \
+        MovementsModelOutputType
+    from pedestrians_video_2_carla_tpu.ops.projection import (
+        ProjectionModule, projection_state_for)
+
+    pm = ProjectionModule(MovementsModelOutputType.pose_changes)
+    proj_state = projection_state_for(jax.numpy.zeros((BATCH,), dtype=int))
+    changes = batch[1]["pose_changes"]
+
+    @jax.jit
+    def project(changes):
+        return pm(proj_state, changes)[0]
+
+    project(changes).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        out = project(changes)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fk_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
+    return clips_per_sec, fk_us_per_clip
+
+
+def bench_cpu_reference_fk():
+    """CPU reference for the FK+projection path: torch, per-frame Python loop
+    over the clip with a recursive 26-bone tree traversal and per-frame camera
+    transform — the algorithmic shape of the upstream pipeline
+    (p3d_pose.py:116-149, projection.py:107-114,170-195)."""
+    import numpy as np
+    import torch
+
+    from pedestrians_video_2_carla_tpu.skeletons.carla import (
+        PARENTS, load_reference_pose)
+
+    rel_loc_np, rel_rot_np = load_reference_pose("adult_female")
+    B = 16  # smaller batch for the slow path; time is per clip anyway
+    rel_loc = torch.tensor(rel_loc_np).expand(B, 26, 3).contiguous()
+    rel_rot = torch.tensor(rel_rot_np).expand(B, 26, 3, 3).contiguous()
+    changes = torch.eye(3).reshape(1, 1, 1, 3, 3).repeat(B, CLIP, 26, 1, 1)
+
+    children = [[] for _ in range(26)]
+    for i, p in enumerate(PARENTS):
+        if p >= 0:
+            children[p].append(i)
+
+    p3d_2_world = torch.tensor([[0., -1., 0.], [1., 0., 0.], [0., 0., 1.]])
+    R = torch.tensor([[0., 0., -1.], [1., 0., 0.], [0., -1., 0.]])
+    T = torch.tensor([0., -1.2, 3.1])
+
+    def fk_frame(rel_loc, rel_rot):
+        abs_loc = torch.zeros_like(rel_loc)
+        abs_rot = torch.zeros_like(rel_rot)
+
+        def descend(idx, prev_t):
+            pad = torch.nn.functional.pad(rel_loc[:, idx:idx + 1],
+                                          (0, 1), value=1.0)  # (B, 1, 4)
+            abs_loc[:, idx] = torch.bmm(pad, prev_t)[:, 0, :3]
+            abs_rot[:, idx] = torch.bmm(rel_rot[:, idx], prev_t[:, :3, :3])
+            new_t = torch.eye(4).reshape(1, 4, 4).repeat(B, 1, 1)
+            new_t[:, :3, :3] = abs_rot[:, idx]
+            new_t[:, 3, :3] = abs_loc[:, idx]
+            for c in children[idx]:
+                descend(c, new_t)
+
+        descend(0, torch.eye(4).reshape(1, 4, 4).repeat(B, 1, 1))
+        return abs_loc, abs_rot
+
+    def run_clip():
+        prev_rot = rel_rot
+        for i in range(CLIP):
+            prev_rot = torch.bmm(changes[:, i].reshape(-1, 3, 3),
+                                 prev_rot.reshape(-1, 3, 3)).reshape(B, 26, 3, 3)
+            abs_loc, _ = fk_frame(rel_loc, prev_rot)
+            world = abs_loc @ p3d_2_world
+            view = world @ R + T
+            z = view[..., 2:]
+            screen = torch.cat([800 - (400 * view[..., :1] / z + 400),
+                                600 - (400 * view[..., 1:2] / z + 300)], -1)
+        return screen
+
+    run_clip()  # warmup
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_clip()
+    dt = time.perf_counter() - t0
+    return dt / (reps * B) * 1e6  # us per clip
+
+
+def main():
+    clips_per_sec, fk_us = bench_tpu_train()
+    try:
+        cpu_fk_us = bench_cpu_reference_fk()
+        vs_baseline = cpu_fk_us / fk_us
+    except Exception:
+        cpu_fk_us, vs_baseline = None, None
+    print(json.dumps({
+        "metric": "pose_lifting_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "config": "LinearAE pose_lifting, batch 256, clip 16, "
+                      "CARLA in/out, loss=loc_2d_3d",
+            "fused_fk_projection_us_per_clip": round(fk_us, 3),
+            "cpu_reference_fk_projection_us_per_clip":
+                round(cpu_fk_us, 1) if cpu_fk_us else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

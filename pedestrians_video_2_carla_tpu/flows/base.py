@@ -1,0 +1,220 @@
+"""Base flow: model bundle + loss chain + metrics + pure train/eval steps.
+
+Re-designs reference ``modules/flow/base.py:33-511`` (``LitBaseFlow``) without
+Lightning: a flow owns its flax models and loss/metric configuration and
+exposes *pure functions* (``training_step`` / ``eval_step``) over an explicit
+``FlowState`` pytree. The trainer jits these over a device mesh with the batch
+sharded on the data axis — the moral equivalent of the reference's DDP, with
+gradient all-reduce inserted by XLA instead of NCCL hooks.
+"""
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (LossContext, LossModes, calculate_losses, primary_loss,
+                      resolve_loss_modes)
+from ..metrics.base import MetricCollection
+from ..models.base import OptimizerSettings
+from ..models.movements.zero import ZeroMovements
+from ..models.trajectory.zero import ZeroTrajectory
+from .output_types import MovementsModelOutputType, TrajectoryModelOutputType
+
+
+@flax.struct.dataclass
+class FlowState:
+    params: Dict[str, Any]
+    mutables: Dict[str, Any]          # batch_stats etc. per model
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class BaseFlow:
+    """Common flow machinery. Subclasses define ``_inner_step`` and metric/
+    model sets (reference subclass contract, ``base.py:125-151``)."""
+
+    def __init__(self,
+                 movements_model=None,
+                 trajectory_model=None,
+                 loss_modes: Optional[List] = None,
+                 loss_weights: Optional[Dict[str, float]] = None,
+                 loss_params: Optional[List[float]] = None,
+                 mask_missing_joints: bool = True,
+                 movements_optimizer: Optional[OptimizerSettings] = None,
+                 trajectory_optimizer: Optional[OptimizerSettings] = None,
+                 transform: str = "hips_neck",
+                 **kwargs):
+        self.movements_model = movements_model \
+            if movements_model is not None else ZeroMovements()
+        self.trajectory_model = trajectory_model \
+            if trajectory_model is not None else ZeroTrajectory()
+        self.mask_missing_joints = mask_missing_joints
+        self.loss_weights = loss_weights or {}
+        self.loss_params = loss_params
+
+        if not loss_modes:
+            loss_modes = [LossModes.loc_2d]
+        self.requested_loss_modes = [
+            LossModes[m] if isinstance(m, str) else m for m in loss_modes]
+        self.losses_to_calculate = resolve_loss_modes(self.requested_loss_modes)
+
+        self.movements_optimizer = movements_optimizer or OptimizerSettings()
+        self.trajectory_optimizer = trajectory_optimizer or OptimizerSettings()
+        self.transform = transform
+        self.outputs_key = "projection_2d" if transform in (None, "none") \
+            else "projection_2d_transformed"
+
+        self.metrics = MetricCollection(self.get_metrics())
+        self.initial_metrics = MetricCollection(
+            {**self.get_metrics(), **self.get_initial_metrics()})
+
+    # -- registry hooks ----------------------------------------------------
+    @classmethod
+    def get_available_models(cls) -> Dict[str, Dict[str, Any]]:
+        return {}
+
+    @classmethod
+    def get_default_models(cls) -> Dict[str, Any]:
+        return {}
+
+    def get_metrics(self) -> Dict[str, Any]:
+        return {}
+
+    def get_initial_metrics(self) -> Dict[str, Any]:
+        return {}
+
+    @property
+    def needs_graph(self):
+        return getattr(self.movements_model, "needs_graph", False)
+
+    @property
+    def needs_heatmaps(self):
+        return getattr(self.movements_model, "needs_heatmaps", False)
+
+    @property
+    def needs_confidence(self):
+        return getattr(self.movements_model, "needs_confidence", False)
+
+    @property
+    def crucial_keys(self) -> List[str]:
+        return [self.outputs_key]
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, key: jax.Array, sample_batch) -> FlowState:
+        inputs, targets, meta = sample_batch
+        k_mov, k_traj, k_drop = jax.random.split(key, 3)
+        mov_vars = self.movements_model.init(
+            {"params": k_mov, "dropout": k_drop}, inputs, training=False)
+        traj_vars = self.trajectory_model.init({"params": k_traj}, inputs)
+
+        params = {"movements": mov_vars.get("params", {}),
+                  "trajectory": traj_vars.get("params", {})}
+        mutables = {"movements": {k: v for k, v in mov_vars.items()
+                                  if k != "params"},
+                    "trajectory": {k: v for k, v in traj_vars.items()
+                                   if k != "params"}}
+        self._tx = self._make_optimizer()
+        opt_state = self._tx.init(params)
+        return FlowState(params=params, mutables=mutables,
+                         opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def _make_optimizer(self) -> optax.GradientTransformationExtraArgs:
+        # one optimizer over the joint param tree with per-model hyperparams
+        # (the reference keeps two torch optimizers; a partitioned optax
+        # transform is the idiomatic equivalent)
+        tx_m = self.movements_optimizer.make()
+        tx_t = self.trajectory_optimizer.make()
+
+        def label(params):
+            return {"movements": "movements", "trajectory": "trajectory"}
+        return optax.multi_transform(
+            {"movements": tx_m, "trajectory": tx_t}, label)
+
+    # -- model application -------------------------------------------------
+    def _apply_model(self, model, params, mutables, inputs, targets,
+                     training: bool, rngs=None):
+        variables = {"params": params, **mutables}
+        mutable_keys = [k for k in mutables.keys() if mutables[k]]
+        kwargs = {}
+        if rngs:
+            kwargs["rngs"] = rngs
+        if training and mutable_keys:
+            out, updated = model.apply(
+                variables, inputs, targets, training=training,
+                mutable=mutable_keys, **kwargs)
+            return out, updated
+        out = model.apply(variables, inputs, targets, training=training,
+                          **kwargs)
+        return out, mutables
+
+    def _inner_step(self, params, mutables, batch, training: bool, rngs):
+        """-> (sliced dict, new mutables). Flow-specific."""
+        raise NotImplementedError
+
+    # -- losses ------------------------------------------------------------
+    def _compute_losses(self, sliced, targets) -> Dict[str, jnp.ndarray]:
+        ctx = LossContext(
+            input_nodes=self.movements_model.input_nodes,
+            output_nodes=self.movements_model.output_nodes,
+            sliced=sliced, targets=targets,
+            loss_weights=self.loss_weights,
+            loss_params=self.loss_params,
+            mask_missing_joints=self.mask_missing_joints,
+        )
+        return calculate_losses(
+            self.losses_to_calculate, self.requested_loss_modes, ctx)
+
+    # -- pure steps (jitted by the trainer) --------------------------------
+    def training_step(self, state: FlowState, batch, rng: jax.Array
+                      ) -> Tuple[FlowState, Dict[str, jnp.ndarray]]:
+        inputs, targets, meta = batch
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            sliced, new_mutables = self._inner_step(
+                params, state.mutables, batch, training=True,
+                rngs={"dropout": dropout_rng})
+            loss_dict = self._compute_losses(sliced, sliced["targets"])
+            name, primary = primary_loss(loss_dict, self.requested_loss_modes)
+            return primary, (loss_dict, new_mutables)
+
+        (primary, (loss_dict, new_mutables)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt_state = self._tx.update(
+            grads, state.opt_state, state.params, value=primary)
+        new_params = optax.apply_updates(state.params, updates)
+
+        logs = {f"train_loss/{k}": v for k, v in loss_dict.items()}
+        logs["train_loss/primary"] = primary
+        new_state = FlowState(params=new_params, mutables=new_mutables,
+                              opt_state=new_opt_state, step=state.step + 1)
+        return new_state, logs
+
+    def eval_step(self, state: FlowState, batch
+                  ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any], Dict[str, Any]]:
+        """-> (loss dict, preds, targets) for metric accumulation."""
+        sliced, _ = self._inner_step(
+            state.params, state.mutables, batch, training=False, rngs=None)
+        loss_dict = self._compute_losses(sliced, sliced["targets"])
+        preds = self._metric_preds(sliced)
+        return loss_dict, preds, sliced["targets"]
+
+    def _metric_preds(self, sliced) -> Dict[str, Any]:
+        """Preds dict for metrics (reference ``base.py:424-436``)."""
+        preds = {
+            "pose_changes": sliced.get("pose_inputs")
+            if self.movements_model.output_type
+            == MovementsModelOutputType.pose_changes else None,
+            "world_loc_changes": None,
+            "world_rot_changes": None,
+        }
+        for k in ("projection_2d", "projection_2d_transformed",
+                  "absolute_pose_loc", "absolute_pose_rot",
+                  "world_loc", "world_rot", "relative_pose_loc",
+                  "relative_pose_rot"):
+            if k in sliced:
+                preds[k] = sliced[k]
+        return preds

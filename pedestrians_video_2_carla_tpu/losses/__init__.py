@@ -1,0 +1,261 @@
+"""Loss registry with dependency resolution.
+
+Capability parity with reference ``loss/`` (``LossModes`` enum, primitives
+loc_2d / loc_3d / rot_3d / cum_pose_changes / pose_changes / per_joint_loc_2d /
+heatmaps and the composite sums with declared dependencies, resolved in
+``LitBaseFlow.__init__`` at ``modules/flow/base.py:76-93`` and evaluated in
+``_calculate_lossess`` at ``base.py:440-469``).
+
+TPU-first differences:
+  * losses are pure functions of a ``LossContext``; no stateful criterion
+    objects — masked reductions are ``where``-based so everything jits;
+  * "loss not available" (missing target key / None tensor) is a *static*
+    property of the batch pytree, so the reference's runtime try/except chain
+    becomes trace-time control flow — the compiled step contains exactly the
+    losses that can be computed.
+"""
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Type
+
+import jax.numpy as jnp
+
+from ..ops.rotations import mm
+from ..ops.tensors import get_missing_joints_mask
+from ..skeletons.base import Skeleton, get_common_indices
+
+
+@dataclass
+class LossContext:
+    """Everything a loss primitive may need (mirrors the kwargs the reference
+    feeds into each loss fn, ``base.py:448-460``)."""
+    input_nodes: Type[Skeleton]
+    output_nodes: Type[Skeleton]
+    sliced: Dict[str, Any]            # flow outputs: projection_2d, pose_inputs, ...
+    targets: Dict[str, Any]
+    requirements: Dict[str, jnp.ndarray] = field(default_factory=dict)
+    loss_weights: Dict[str, float] = field(default_factory=dict)
+    loss_params: Optional[Sequence[float]] = None
+    mask_missing_joints: bool = True
+
+
+def _masked_mse(pred: jnp.ndarray, gt: jnp.ndarray,
+                mask: Optional[jnp.ndarray], reduction: str = "mean"
+                ) -> jnp.ndarray:
+    """MSE with optional per-joint mask. ``mean`` averages over unmasked
+    elements (matching torch's ``criterion(pred[mask], gt[mask])``)."""
+    sq = (pred - gt) ** 2
+    if mask is None:
+        return jnp.mean(sq) if reduction == "mean" else jnp.sum(sq)
+    m = mask[..., None].astype(sq.dtype)
+    total = jnp.sum(sq * m)
+    if reduction == "sum":
+        return total
+    count = jnp.sum(m) * sq.shape[-1]
+    return total / jnp.maximum(count, 1.0)
+
+
+def _common_hips_index(input_nodes: Type[Skeleton], input_indices) -> Optional[int]:
+    """Position of the hips joint within the common-joint axis (reference
+    ``utils/tensors.py:33-39``); None when hips is a multi-joint point."""
+    hips = input_nodes.get_hips_point()
+    if isinstance(hips, (list, tuple)):
+        return None
+    if isinstance(input_indices, slice):
+        return int(hips)
+    idx = list(input_indices)
+    return idx.index(int(hips)) if int(hips) in idx else None
+
+
+def loss_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """MSE on 2D projections over common joints, with missing-joint masking
+    (reference ``loss/loc_2d.py:69-89``). Prefers the transformed
+    (normalized) space when available."""
+    out_idx, in_idx = get_common_indices(ctx.input_nodes, ctx.output_nodes)
+    if ctx.sliced.get("projection_2d_transformed") is not None \
+            and ctx.targets.get("projection_2d_transformed") is not None:
+        pred = ctx.sliced["projection_2d_transformed"][..., out_idx, 0:2]
+        gt = ctx.targets["projection_2d_transformed"][..., in_idx, 0:2]
+    elif ctx.sliced.get("projection_2d") is not None \
+            and ctx.targets.get("projection_2d") is not None:
+        pred = ctx.sliced["projection_2d"][..., out_idx, 0:2]
+        gt = ctx.targets["projection_2d"][..., in_idx, 0:2]
+    else:
+        return None
+    mask = None
+    if ctx.mask_missing_joints:
+        mask = get_missing_joints_mask(
+            gt, _common_hips_index(ctx.input_nodes, in_idx))
+    return _masked_mse(pred, gt, mask)
+
+
+def loss_loc_3d(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """MSE on absolute 3D pose locations (reference ``loss/loc_3d.py:12-40``;
+    unmasked, matching upstream)."""
+    if ctx.sliced.get("absolute_pose_loc") is None \
+            or ctx.targets.get("absolute_pose_loc") is None:
+        return None
+    out_idx, in_idx = get_common_indices(ctx.input_nodes, ctx.output_nodes)
+    pred = ctx.sliced["absolute_pose_loc"][:, :, out_idx]
+    gt = ctx.targets["absolute_pose_loc"][:, :, in_idx]
+    return _masked_mse(pred, gt, None)
+
+
+def loss_rot_3d(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """MSE on absolute rotation matrices (reference ``loss/rot_3d.py:9-37``)."""
+    if ctx.sliced.get("absolute_pose_rot") is None \
+            or ctx.targets.get("absolute_pose_rot") is None:
+        return None
+    out_idx, in_idx = get_common_indices(ctx.input_nodes, ctx.output_nodes)
+    pred = ctx.sliced["absolute_pose_rot"][:, :, out_idx]
+    gt = ctx.targets["absolute_pose_rot"][:, :, in_idx]
+    return jnp.mean((pred - gt) ** 2)
+
+
+def loss_cum_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """MSE on rotation-change matrices *accumulated over frames* (reference
+    ``loss/cum_pose_changes.py:9-56``; right-multiplied running product —
+    here a single associative scan)."""
+    import jax
+
+    pose_inputs = ctx.sliced.get("pose_inputs")
+    if pose_inputs is None or isinstance(pose_inputs, tuple) \
+            or ctx.targets.get("pose_changes") is None:
+        return None
+    cum_pred = jax.lax.associative_scan(lambda a, b: mm(a, b),
+                                        pose_inputs, axis=1)
+    cum_gt = jax.lax.associative_scan(lambda a, b: mm(a, b),
+                                      ctx.targets["pose_changes"], axis=1)
+    return jnp.mean((cum_pred - cum_gt) ** 2)
+
+
+def loss_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """Sum-reduced MSE directly on change matrices (reference
+    ``loss/pose_changes.py:7-28``)."""
+    pose_inputs = ctx.sliced.get("pose_inputs")
+    if pose_inputs is None or isinstance(pose_inputs, tuple) \
+            or ctx.targets.get("pose_changes") is None:
+        return None
+    return jnp.sum((pose_inputs - ctx.targets["pose_changes"]) ** 2)
+
+
+def loss_per_joint_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """Per-joint weighted sum of 2D MSEs (reference
+    ``loss/per_joint_loc_2d.py:7-26``: sum-per-joint with weights from the
+    flattened ``--loss_params_{i}`` args)."""
+    out_idx, in_idx = get_common_indices(ctx.input_nodes, ctx.output_nodes)
+    if ctx.sliced.get("projection_2d_transformed") is not None \
+            and ctx.targets.get("projection_2d_transformed") is not None:
+        pred = ctx.sliced["projection_2d_transformed"][..., out_idx, 0:2]
+        gt = ctx.targets["projection_2d_transformed"][..., in_idx, 0:2]
+    elif ctx.sliced.get("projection_2d") is not None \
+            and ctx.targets.get("projection_2d") is not None:
+        pred = ctx.sliced["projection_2d"][..., out_idx, 0:2]
+        gt = ctx.targets["projection_2d"][..., in_idx, 0:2]
+    else:
+        return None
+    mask = None
+    if ctx.mask_missing_joints:
+        mask = get_missing_joints_mask(
+            gt, _common_hips_index(ctx.input_nodes, in_idx))
+
+    num_joints = pred.shape[-2]
+    if ctx.loss_params is not None:
+        weights = jnp.asarray(list(ctx.loss_params)[:num_joints],
+                              dtype=pred.dtype)
+    else:
+        weights = jnp.ones((num_joints,), dtype=pred.dtype)
+
+    sq = (pred - gt) ** 2
+    batch_axes = tuple(range(sq.ndim - 2)) + (-1,)
+    if mask is not None:
+        # per-joint mean over unmasked elements only
+        m = mask[..., None].astype(sq.dtype)
+        counts = jnp.sum(mask.astype(sq.dtype),
+                         axis=tuple(range(mask.ndim - 1))) * sq.shape[-1]
+        per_joint = jnp.sum(sq * m, axis=batch_axes) / jnp.maximum(counts, 1.0)
+    else:
+        per_joint = jnp.mean(sq, axis=batch_axes)
+    return jnp.sum(per_joint * weights)
+
+
+def loss_heatmaps(ctx: LossContext) -> Optional[jnp.ndarray]:
+    """Sum-per-frame MSE on flattened heatmaps incl. background channel
+    (reference ``loss/heatmaps_loss.py:9-47``)."""
+    pred = ctx.sliced.get("heatmaps")
+    gt = ctx.targets.get("heatmaps")
+    if pred is None or gt is None:
+        return None
+    per_frame = jnp.mean(
+        (pred - gt) ** 2, axis=tuple(range(2, pred.ndim)))
+    return jnp.sum(jnp.mean(per_frame, axis=0))
+
+
+def _composite(names: Sequence[str], weighted: bool = False):
+    def fn(ctx: LossContext) -> Optional[jnp.ndarray]:
+        try:
+            parts = [ctx.requirements[n] for n in names]
+        except KeyError:
+            return None
+        if weighted:
+            return sum(float(ctx.loss_weights.get(n, 1.0)) * p
+                       for n, p in zip(names, parts))
+        return sum(parts)
+    return fn
+
+
+class LossModes(Enum):
+    """(callable, deps) — mirrors reference ``loss/__init__.py:18-53``."""
+    loc_2d = (loss_loc_2d, ())
+    common_loc_2d = (loss_loc_2d, ())  # deprecated alias kept for CLI parity
+    loc_3d = (loss_loc_3d, ())
+    rot_3d = (loss_rot_3d, ())
+    cum_pose_changes = (loss_cum_pose_changes, ())
+    pose_changes = (loss_pose_changes, ())
+    loc_2d_3d = (_composite(("loc_2d", "loc_3d")), ("loc_2d", "loc_3d"))
+    loc_2d_loc_rot_3d = (_composite(("loc_2d", "loc_3d", "rot_3d")),
+                         ("loc_2d", "loc_3d", "rot_3d"))
+    weighted_loc_2d_loc_rot_3d = (
+        _composite(("loc_2d", "loc_3d", "rot_3d"), weighted=True),
+        ("loc_2d", "loc_3d", "rot_3d"))
+    loc_rot_3d = (_composite(("loc_3d", "rot_3d")), ("loc_3d", "rot_3d"))
+    per_joint_loc_2d = (loss_per_joint_loc_2d, ())
+    heatmaps = (loss_heatmaps, ())
+
+
+def resolve_loss_modes(loss_modes: Sequence) -> List[LossModes]:
+    """Prepend dependencies (deduplicated, order-preserving) — reference
+    ``base.py:76-93``."""
+    requested = [LossModes[m] if isinstance(m, str) else m for m in loss_modes]
+    ordered: List[LossModes] = []
+    for mode in requested:
+        for dep in mode.value[1]:
+            ordered.append(LossModes[dep])
+        ordered.append(mode)
+    return list(dict.fromkeys(ordered))
+
+
+def calculate_losses(loss_modes: Sequence[LossModes],
+                     requested: Sequence[LossModes],
+                     ctx: LossContext) -> Dict[str, jnp.ndarray]:
+    """Evaluate the resolved loss chain, stopping after the first *requested*
+    loss that is statically computable (reference ``base.py:440-469``)."""
+    loss_dict: Dict[str, jnp.ndarray] = {}
+    for mode in loss_modes:
+        fn, deps = mode.value
+        ctx.requirements = {k: v for k, v in loss_dict.items() if k in deps}
+        value = fn(ctx)
+        if value is not None:
+            loss_dict[mode.name] = value
+            if mode in requested:
+                break
+    return loss_dict
+
+
+def primary_loss(loss_dict: Dict[str, jnp.ndarray],
+                 requested: Sequence[LossModes]) -> Tuple[str, jnp.ndarray]:
+    """First requested loss present in the dict (reference ``base.py:415-438``)."""
+    for mode in requested:
+        if mode.name in loss_dict:
+            return mode.name, loss_dict[mode.name]
+    raise RuntimeError("Couldn't calculate any loss.")

@@ -1,0 +1,363 @@
+"""Main CLI & programmatic API (reference ``modeling.py``):
+
+    python -m pedestrians_video_2_carla_tpu --flow=pose_lifting --mode=train \
+        --data_module_name=Carla2D3D --movements_model_name=LinearAE ...
+
+Keeps the reference's compositional two-phase argparse contract
+(``modeling.py:328-424``): program-level choices are parsed first, then the
+chosen flow / datamodule / model classes contribute their own argument groups.
+Model arguments are auto-derived from the flax module dataclass fields, so
+every model hyperparameter is a flag without per-model parser code.
+"""
+import argparse
+import dataclasses
+import sys
+import typing
+from typing import Any, Dict, List, Optional
+
+from . import data as data_registry
+from .flows import available_flows
+from .flows.output_types import MovementsModelOutputType
+from .losses import LossModes
+from .models.base import OptimizerSettings
+from .skeletons.base import SKELETONS, get_skeleton_type_by_name
+from .training.trainer import Trainer, TrainerConfig
+from .utils.argparse import boolean, flat_args_as_list_arg, list_arg_as_flat_args
+
+DEFAULT_SEED = 22742
+
+#: module fields that never become CLI flags
+_SKIP_FIELDS = {"input_nodes", "output_nodes", "parent", "name",
+                "movements_output_type"}
+
+
+def add_program_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--flow", default="pose_lifting",
+                        choices=list(available_flows().keys()))
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "tune", "test", "predict"])
+    parser.add_argument("--data_module_name", default="Carla2D3D")
+    parser.add_argument("--predict_sets", nargs="+", default=["test"])
+    parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    parser.add_argument("--root_dir", default="outputs")
+    parser.add_argument("--logs_dir", default=None)
+    parser.add_argument("--run_name", default=None)
+    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--prefer_tensorboard", action="store_true")
+    parser.add_argument("--renderers", nargs="*", default=["none"])
+    return parser
+
+
+def add_trainer_args(parser: argparse.ArgumentParser):
+    group = parser.add_argument_group("Trainer")
+    group.add_argument("--max_epochs", type=int, default=1)
+    group.add_argument("--limit_train_batches", type=int, default=None)
+    group.add_argument("--limit_val_batches", type=int, default=None)
+    group.add_argument("--limit_test_batches", type=int, default=None)
+    group.add_argument("--log_every_n_steps", type=int, default=50)
+    group.add_argument("--check_val_every_n_epoch", type=int, default=1)
+    group.add_argument("--num_devices", type=int, default=None,
+                       help="data-parallel mesh size (default: all devices)")
+    return parser
+
+
+def add_datamodule_args(parser: argparse.ArgumentParser):
+    group = parser.add_argument_group("DataModule")
+    group.add_argument("--batch_size", type=int, default=64)
+    group.add_argument("--clip_length", type=int, default=30)
+    group.add_argument("--data_nodes", default=None,
+                       type=get_skeleton_type_by_name)
+    group.add_argument("--input_nodes", default=None,
+                       type=get_skeleton_type_by_name)
+    group.add_argument("--output_nodes", default=None,
+                       type=get_skeleton_type_by_name)
+    group.add_argument("--transform", default="hips_neck",
+                       choices=["hips_neck", "hips_neck_bbox", "bbox", "none"])
+    group.add_argument("--val_set_size", type=int, default=64)
+    group.add_argument("--test_set_size", type=int, default=64)
+    group.add_argument("--random_changes_each_frame", type=int, default=3)
+    group.add_argument("--max_change_in_deg", type=float, default=5.0)
+    group.add_argument("--max_world_rot_change_in_deg", type=float, default=0.0)
+    group.add_argument("--max_initial_world_rot_change_in_deg", type=float,
+                       default=0.0)
+    group.add_argument("--noise", default="zero",
+                       choices=["zero", "gaussian", "uniform"])
+    group.add_argument("--noise_param", type=float, default=1.0)
+    group.add_argument("--data_variant", default=None)
+    group.add_argument("--source_videos_dir", default=None)
+    group.add_argument("--classification_targets_key", default="crossing")
+    group.add_argument("--num_classes", type=int, default=2)
+    group.add_argument("--classification_average", default="macro")
+    list_arg_as_flat_args(group, "missing_joint_probabilities", 26, None,
+                          float)
+    return parser
+
+
+def add_flow_args(parser: argparse.ArgumentParser):
+    group = parser.add_argument_group("Flow")
+    group.add_argument("--loss_modes", nargs="+", default=[],
+                       type=LossModes.__getitem__,
+                       choices=list(LossModes))
+    group.add_argument("--loss_weights", nargs="+", default=[],
+                       help="e.g. loc_2d=1.0 loc_3d=1.0 rot_3d=3.0")
+    group.add_argument("--mask_missing_joints", type=boolean, default=True)
+    group.add_argument("--movements_output_type",
+                       default="pose_changes",
+                       choices=[t.name for t in MovementsModelOutputType])
+    list_arg_as_flat_args(group, "loss_params", 26, None, float)
+    return parser
+
+
+def add_optimizer_args(parser: argparse.ArgumentParser, prefix: str):
+    group = parser.add_argument_group(f"{prefix} optimizer")
+    group.add_argument(f"--{prefix}_lr", type=float, default=None)
+    group.add_argument(f"--{prefix}_enable_lr_scheduler", action="store_true")
+    group.add_argument(f"--{prefix}_scheduler_type",
+                       default="ReduceLROnPlateau",
+                       choices=["ReduceLROnPlateau", "StepLR",
+                                "CosineAnnealingWarmRestarts"])
+    group.add_argument(f"--{prefix}_scheduler_gamma", type=float, default=0.98)
+    group.add_argument(f"--{prefix}_scheduler_step_size", type=int, default=1)
+    group.add_argument(f"--{prefix}_scheduler_min_lr", type=float,
+                       default=1e-8)
+    group.add_argument(f"--{prefix}_scheduler_patience", type=int, default=50)
+    group.add_argument(f"--{prefix}_scheduler_cooldown", type=int, default=20)
+    group.add_argument(f"--{prefix}_weight_decay", type=float, default=1e-8)
+    return parser
+
+
+def _cli_type(tp):
+    origin = typing.get_origin(tp)
+    if origin is typing.Union:  # Optional[T]
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        return _cli_type(args[0]) if args else None
+    if tp in (int, float, str):
+        return tp
+    if tp is bool:
+        return boolean
+    return None
+
+
+def add_model_args(parser: argparse.ArgumentParser, model_cls,
+                   seen: set) -> None:
+    """Auto-derive flags from the model's dataclass fields."""
+    if not dataclasses.is_dataclass(model_cls):
+        return
+    group = parser.add_argument_group(model_cls.__name__)
+    for f in dataclasses.fields(model_cls):
+        if f.name in _SKIP_FIELDS or f.name.startswith("_") \
+                or f.name in seen:
+            continue
+        tp = _cli_type(f.type) if not isinstance(f.type, str) else {
+            "int": int, "float": float, "str": str, "bool": boolean,
+            "Optional[int]": int, "Optional[float]": float,
+        }.get(f.type)
+        if tp is None:
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else None
+        try:
+            group.add_argument(f"--{f.name}", type=tp, default=default)
+            seen.add(f.name)
+        except argparse.ArgumentError:
+            pass
+
+
+def discover_available_classes():
+    return available_flows(), data_registry.discover()
+
+
+def _model_kwargs(model_cls, args_dict: Dict[str, Any]) -> Dict[str, Any]:
+    if not dataclasses.is_dataclass(model_cls):
+        return {}
+    names = {f.name for f in dataclasses.fields(model_cls)}
+    return {k: v for k, v in args_dict.items()
+            if k in names and v is not None and k not in _SKIP_FIELDS}
+
+
+def setup_flow(argv: List[str]):
+    flows, datamodules = discover_available_classes()
+
+    phase1 = argparse.ArgumentParser(add_help=False)
+    add_program_args(phase1)
+    known, _ = phase1.parse_known_args(argv)
+
+    flow_cls = flows[known.flow]
+    dm_cls = datamodules[known.data_module_name]
+
+    parser = argparse.ArgumentParser(
+        prog="pedestrians_video_2_carla_tpu",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_program_args(parser)
+    add_trainer_args(parser)
+    add_datamodule_args(parser)
+    add_flow_args(parser)
+
+    model_types = flow_cls.get_available_models()
+    seen: set = set()
+    model_choices = {}
+    for model_type, models in model_types.items():
+        default_model = flow_cls.get_default_models().get(model_type)
+        parser.add_argument(
+            f"--{model_type}_model_name",
+            default=default_model.__name__ if default_model else None,
+            choices=list(models.keys()))
+        add_optimizer_args(parser, model_type)
+        # peek the chosen model to add its args
+        peek = argparse.ArgumentParser(add_help=False)
+        peek.add_argument(f"--{model_type}_model_name",
+                          default=default_model.__name__ if default_model
+                          else None)
+        peeked, _ = peek.parse_known_args(argv)
+        chosen_name = getattr(peeked, f"{model_type}_model_name")
+        if chosen_name:
+            model_choices[model_type] = models[chosen_name]
+            add_model_args(parser, models[chosen_name], seen)
+
+    args = parser.parse_args(argv)
+    return args, flow_cls, dm_cls, model_choices
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
+    argv = argv if argv is not None else sys.argv[1:]
+    args, flow_cls, dm_cls, model_choices = setup_flow(argv)
+    args_dict = vars(args)
+
+    import os
+
+    import jax
+    import numpy as np
+
+    # honor JAX_PLATFORMS even when a sitecustomize plugin (e.g. the axon TPU
+    # tunnel) registered its backend before this process saw the variable.
+    # NOTE: must not touch jax.default_backend() first — probing it would
+    # initialize (and pin) the pre-registered backend.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+
+    # ---- build models -------------------------------------------------
+    skeleton_kwargs = {}
+    data_nodes = args.data_nodes
+    input_nodes = args.input_nodes or data_nodes
+    if input_nodes is not None:
+        skeleton_kwargs["input_nodes"] = input_nodes
+    output_nodes = args.output_nodes or input_nodes
+    mot = MovementsModelOutputType[args.movements_output_type]
+
+    models = {}
+    for model_type, model_cls in model_choices.items():
+        kwargs = _model_kwargs(model_cls, args_dict)
+        kwargs.update({k: v for k, v in skeleton_kwargs.items()
+                       if k in {f.name for f in dataclasses.fields(model_cls)}})
+        field_names = {f.name for f in dataclasses.fields(model_cls)}
+        if "output_nodes" in field_names and output_nodes is not None:
+            kwargs["output_nodes"] = output_nodes
+        if "movements_output_type" in field_names:
+            defaults = model_cls.supported_output_types() \
+                if hasattr(model_cls, "supported_output_types") else None
+            if defaults is None or mot in defaults:
+                kwargs["movements_output_type"] = mot
+        if "num_classes" in field_names:
+            kwargs["num_classes"] = args.num_classes
+        models[f"{model_type}_model"] = model_cls(**kwargs)
+
+    # ---- build flow ----------------------------------------------------
+    loss_weights = dict(w.split("=") for w in args.loss_weights)
+    loss_weights = {k: float(v) for k, v in loss_weights.items()}
+    flow_kwargs = dict(
+        loss_modes=args.loss_modes,
+        loss_weights=loss_weights,
+        loss_params=flat_args_as_list_arg(args_dict, "loss_params"),
+        mask_missing_joints=args.mask_missing_joints,
+        transform=args.transform,
+        classification_targets_key=args.classification_targets_key,
+        classification_average=args.classification_average,
+        num_classes=args.num_classes,
+    )
+    for model_type in model_choices:
+        flow_kwargs[f"{model_type}_optimizer"] = \
+            OptimizerSettings.from_kwargs(model_type, args_dict)
+    flow = flow_cls(**models, **flow_kwargs)
+
+    # ---- build datamodule ---------------------------------------------
+    dm_kwargs = dict(
+        batch_size=args.batch_size, clip_length=args.clip_length,
+        transform=args.transform,
+        needs_confidence=flow.needs_confidence,
+        val_set_size=args.val_set_size, test_set_size=args.test_set_size,
+        random_changes_each_frame=args.random_changes_each_frame,
+        max_change_in_deg=args.max_change_in_deg,
+        max_world_rot_change_in_deg=args.max_world_rot_change_in_deg,
+        max_initial_world_rot_change_in_deg=
+        args.max_initial_world_rot_change_in_deg,
+        noise=args.noise, noise_param=args.noise_param,
+        missing_joint_probabilities=flat_args_as_list_arg(
+            args_dict, "missing_joint_probabilities"),
+        seed=args.seed,
+    )
+    if data_nodes is not None:
+        dm_kwargs["data_nodes"] = data_nodes
+    if input_nodes is not None:
+        dm_kwargs["input_nodes"] = input_nodes
+    import inspect
+    sig_params = set()
+    for klass in dm_cls.__mro__:
+        if hasattr(klass, "__init__"):
+            sig_params |= set(
+                inspect.signature(klass.__init__).parameters.keys())
+    dm = dm_cls(**{k: v for k, v in dm_kwargs.items() if k in sig_params
+                   or "kwargs" in sig_params})
+
+    # ---- trainer --------------------------------------------------------
+    from .parallel.mesh import MeshConfig
+    run_name = args.run_name or known_name(args)
+    config = TrainerConfig(
+        max_epochs=args.max_epochs,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        limit_test_batches=args.limit_test_batches,
+        log_every_n_steps=args.log_every_n_steps,
+        check_val_every_n_epoch=args.check_val_every_n_epoch,
+        seed=args.seed,
+        mesh=MeshConfig(data_axis_size=args.num_devices),
+        logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
+        run_name=run_name,
+    )
+    trainer = Trainer(flow, dm, config)
+
+    dm.prepare_data()
+    dm.setup(args.mode)
+
+    results: Dict[str, Any] = {"trainer": trainer, "flow": flow, "dm": dm}
+    if args.mode in ("train", "tune"):
+        if args.ckpt_path:
+            from .training.checkpoint import resolve_ckpt_path
+            trainer.restore(resolve_ckpt_path(args.ckpt_path),
+                            weights_only=(args.mode == "tune"))
+        trainer.fit()
+        results["val_metrics"] = trainer.evaluate(
+            "val", config.limit_val_batches)
+    elif args.mode == "test":
+        results["test_metrics"] = trainer.test()
+    elif args.mode == "predict":
+        predictions = {}
+        for set_name in args.predict_sets:
+            predictions[set_name] = trainer.predict(set_name)
+        results["predictions"] = predictions
+    return results
+
+
+def known_name(args) -> str:
+    import time
+    return f"{args.data_module_name}-{time.strftime('%Y%m%d-%H%M%S')}"
+
+
+def run():
+    main()
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,222 @@
+"""Dense-adjacency graph classifiers.
+
+Re-designs reference ``modules/classification/gnn/`` (torch_geometric
+GCNConv + torch_geometric_temporal GConvLSTM/GConvGRU/DCRNN/TGCN recurrent
+graph layers): skeleton graphs are tiny static 26-node graphs, so Chebyshev /
+GCN convolutions are dense (J, J) matmuls batched over (batch, frame) — a far
+better fit for the MXU than sparse gather/scatter ops.
+
+TPU-first structure of the recurrent layers: the *input-side* graph
+convolutions of every gate are time-independent, so they are precomputed for
+the whole clip in one batched matmul; only the hidden-side convolutions run
+inside the ``lax.scan`` over frames. Gate weights are explicit ``self.param``
+arrays so the scan body is a pure function (no module application inside the
+scan). Classification reads the mean-pooled last-frame node embeddings
+(reference takes last-frame logits of time-as-batch PyG graphs,
+``flow/classification.py:502-522``).
+"""
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...flows.output_types import ClassificationModelOutputType
+from .common import ClassificationModel
+
+
+def normalized_adjacency(skeleton, self_loops: bool = True) -> np.ndarray:
+    return skeleton.get_adjacency_matrix(normalized=True,
+                                         self_loops=self_loops)
+
+
+def laplacian_op(skeleton) -> np.ndarray:
+    """Scaled Chebyshev operator ~L = L - I (lambda_max=2) with
+    L = I - D^-1/2 A D^-1/2, i.e. -D^-1/2 A D^-1/2."""
+    return -skeleton.get_adjacency_matrix(normalized=True, self_loops=False)
+
+
+def cheb_apply(op: jnp.ndarray, x: jnp.ndarray,
+               weights: Sequence[jnp.ndarray], bias: jnp.ndarray):
+    """K-order Chebyshev conv: sum_k T_k(op) x W_k + b; x: (..., J, C)."""
+    t_prev2 = x
+    out = t_prev2 @ weights[0]
+    if len(weights) > 1:
+        t_prev1 = jnp.einsum("ij,...jc->...ic", op, x)
+        out = out + t_prev1 @ weights[1]
+        for w in weights[2:]:
+            t = 2 * jnp.einsum("ij,...jc->...ic", op, t_prev1) - t_prev2
+            out = out + t @ w
+            t_prev2, t_prev1 = t_prev1, t
+    return out + bias
+
+
+class _GraphGatedRecurrent(ClassificationModel):
+    """Shared machinery: two recurrent graph layers (gates defined by
+    subclass) + mean pool + Dense (reference ``gnn/rnn.py:8-70``)."""
+    hidden_size: int = 128
+    p_dropout: float = 0.2
+    k: int = 2
+    gates: Sequence[str] = ("z", "r", "h")
+
+    def _operator(self):
+        return laplacian_op(self.input_nodes)
+
+    def _gate_params(self, layer: str, gate: str, in_features: int):
+        init = nn.initializers.lecun_normal()
+        wx = [self.param(f"{layer}_{gate}_wx{i}", init,
+                         (in_features, self.hidden_size))
+              for i in range(self.k)]
+        wh = [self.param(f"{layer}_{gate}_wh{i}", init,
+                         (self.hidden_size, self.hidden_size))
+              for i in range(self.k)]
+        bx = self.param(f"{layer}_{gate}_bx", nn.initializers.zeros,
+                        (self.hidden_size,))
+        bh = self.param(f"{layer}_{gate}_bh", nn.initializers.zeros,
+                        (self.hidden_size,))
+        return wx, bx, wh, bh
+
+    def _cell(self, op, gate_params, h_carry, x_gates_t):
+        """One step given precomputed input-side gate activations."""
+        raise NotImplementedError
+
+    def _init_carry(self, B, J, dtype):
+        return jnp.zeros((B, J, self.hidden_size), dtype)
+
+    def _layer(self, name: str, x: jnp.ndarray, op: jnp.ndarray):
+        B, L, J, C = x.shape
+        params = {g: self._gate_params(name, g, C) for g in self.gates}
+        # input-side convs for the whole clip at once (time-independent)
+        x_gates = {g: cheb_apply(op, x, params[g][0], params[g][1])
+                   for g in self.gates}
+        xs = {g: jnp.swapaxes(v, 0, 1) for g, v in x_gates.items()}  # (L,B,J,F)
+
+        def step(carry, xt):
+            return self._cell(op, params, carry, xt)
+
+        stacked = jnp.stack([xs[g] for g in self.gates], axis=1)  # (L,G,B,J,F)
+        _, ys = jax.lax.scan(
+            lambda c, xt: step(c, {g: xt[i] for i, g in enumerate(self.gates)}),
+            self._init_carry(B, J, x.dtype), stacked)
+        return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
+
+    @nn.compact
+    def __call__(self, x, targets=None, training: bool = False):
+        op = jnp.asarray(self._operator(), dtype=x.dtype)
+        h = nn.relu(self._layer("rnn1", x[..., :self.input_features], op))
+        h = nn.relu(self._layer("rnn2", h, op))
+        h = jnp.mean(h[:, -1], axis=-2)  # pool joints of the last frame
+        h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
+        return nn.Dense(self.num_classes)(h)
+
+
+class _GraphGRUCellMixin:
+    def _cell(self, op, params, h, xg):
+        def hconv(gate, v):
+            wx, bx, wh, bh = params[gate]
+            return cheb_apply(op, v, wh, bh)
+        z = nn.sigmoid(xg["z"] + hconv("z", h))
+        r = nn.sigmoid(xg["r"] + hconv("r", h))
+        h_tilde = nn.tanh(xg["h"] + hconv("h", r * h))
+        h_new = z * h + (1 - z) * h_tilde
+        return h_new, h_new
+
+
+class GConvGRU(_GraphGRUCellMixin, _GraphGatedRecurrent):
+    """Chebyshev graph-conv GRU (torch_geometric_temporal GConvGRU)."""
+
+
+class DCRNN(_GraphGRUCellMixin, _GraphGatedRecurrent):
+    """Diffusion-convolution GRU; diffusion operator = normalized adjacency."""
+
+    def _operator(self):
+        return normalized_adjacency(self.input_nodes)
+
+
+class TGCN(_GraphGRUCellMixin, _GraphGatedRecurrent):
+    """GCN + GRU: one-hop normalized-adjacency convolution in each gate."""
+    k: int = 1
+
+    def _operator(self):
+        return normalized_adjacency(self.input_nodes)
+
+
+class GConvLSTM(_GraphGatedRecurrent):
+    """Chebyshev graph-conv LSTM (torch_geometric_temporal GConvLSTM)."""
+    gates: Sequence[str] = ("i", "f", "c", "o")
+
+    def _init_carry(self, B, J, dtype):
+        zeros = jnp.zeros((B, J, self.hidden_size), dtype)
+        return (zeros, zeros)
+
+    def _layer(self, name, x, op):
+        out = super()._layer(name, x, op)
+        return out
+
+    def _cell(self, op, params, carry, xg):
+        h, c = carry
+
+        def hconv(gate, v):
+            wx, bx, wh, bh = params[gate]
+            return cheb_apply(op, v, wh, bh)
+        i = nn.sigmoid(xg["i"] + hconv("i", h))
+        f = nn.sigmoid(xg["f"] + hconv("f", h))
+        g = nn.tanh(xg["c"] + hconv("c", h))
+        o = nn.sigmoid(xg["o"] + hconv("o", h))
+        c_new = f * c + i * g
+        h_new = o * nn.tanh(c_new)
+        return (h_new, c_new), h_new
+
+
+class GCNBestPaper(ClassificationModel):
+    """2x GCNConv -> joint/channel means -> Dense -> single binary logit
+    (reference ``gnn/gcn_best_paper.py:13-59``, IEEE 8917118)."""
+
+    @property
+    def output_type(self):
+        return ClassificationModelOutputType.binary
+
+    @nn.compact
+    def __call__(self, x, targets=None, training: bool = False):
+        # unnormalized adjacency with self loops (reference normalize=False)
+        adj = jnp.asarray(self.input_nodes.get_adjacency_matrix(
+            normalized=False, self_loops=True))
+        B, L, J, _ = x.shape
+
+        def conv(v, features):
+            return nn.Dense(features)(
+                jnp.einsum("ij,...jc->...ic", adj.astype(v.dtype), v))
+
+        h = x[..., :2]
+        h = nn.relu(nn.Dropout(0.5, deterministic=not training)(conv(h, 64)))
+        h = nn.relu(nn.Dropout(0.5, deterministic=not training)(conv(h, 32)))
+        # reference: reshape to (-1, J, 2), mean over graphs then channels
+        h = h.reshape(B, L, J, -1, 2).mean(axis=(1, 3))  # (B, J, 2)
+        h = h.mean(axis=-1)                              # (B, J)
+        return nn.Dense(1)(h)
+
+
+class GCNBestPaperTransformer(ClassificationModel):
+    """GCN front-end + graph-masked attention (dense TransformerConv;
+    reference ``gnn/gcn_best_paper_transformer.py``)."""
+
+    @property
+    def output_type(self):
+        return ClassificationModelOutputType.binary
+
+    @nn.compact
+    def __call__(self, x, targets=None, training: bool = False):
+        adj = jnp.asarray(self.input_nodes.get_adjacency_matrix(
+            normalized=False, self_loops=True))
+        B, L, J, _ = x.shape
+        h = x[..., :2]
+        h = nn.Dense(64)(jnp.einsum("ij,...jc->...ic", adj.astype(h.dtype), h))
+        h = nn.relu(nn.Dropout(0.5, deterministic=not training)(h))
+        q, k, v = (nn.Dense(32)(h) for _ in range(3))
+        logits = jnp.einsum("...ic,...jc->...ij", q, k) / jnp.sqrt(32.0)
+        logits = jnp.where(adj > 0, logits, -1e9)
+        h = jnp.einsum("...ij,...jc->...ic", jax.nn.softmax(logits, -1), v)
+        h = nn.relu(nn.Dropout(0.5, deterministic=not training)(h))
+        h = h.reshape(B, L, J, -1, 2).mean(axis=(1, 3)).mean(axis=-1)
+        return nn.Dense(1)(h)

@@ -23,10 +23,15 @@ from . import normalization as N
 @lru_cache(maxsize=None)
 def reference_absolute_tensors():
     """FK of the four reference skeletons: ``(abs_loc (4,26,3), abs_rot (4,26,3,3))``
-    numpy float32 (reference ``data/carla/reference.py:67-90``)."""
-    rel_loc, rel_rot = reference_poses_tensor()
-    abs_loc, abs_rot = K.forward_kinematics(rel_loc, rel_rot)
-    return np.asarray(abs_loc), np.asarray(abs_rot)
+    numpy float32 (reference ``data/carla/reference.py:67-90``).
+    ``ensure_compile_time_eval`` keeps this eager even when first invoked
+    inside a jit trace (the result is a cached constant)."""
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        rel_loc, rel_rot = reference_poses_tensor()
+        abs_loc, abs_rot = K.forward_kinematics(rel_loc, rel_rot)
+        return np.asarray(abs_loc), np.asarray(abs_rot)
 
 
 @lru_cache(maxsize=None)
@@ -34,10 +39,13 @@ def reference_projections():
     """2D screen projections of the reference skeletons: (4, 26, 3) numpy.
     The reference uses a camera at (3.1, 0, 0) looking at the origin for these
     (``data/carla/reference.py:93-120``), i.e. zero elevation."""
-    abs_loc, _ = reference_absolute_tensors()
-    cam = C.make_camera(distance=3.1, shift=0.0, elevation=0.0,
-                        look_at=(0.0, 0.0, 0.0))
-    return np.asarray(C.project_pose(cam, jnp.asarray(abs_loc)))
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        abs_loc, _ = reference_absolute_tensors()
+        cam = C.make_camera(distance=3.1, shift=0.0, elevation=0.0,
+                            look_at=(0.0, 0.0, 0.0))
+        return np.asarray(C.project_pose(cam, jnp.asarray(abs_loc)))
 
 
 def _hips_neck_ss(reference: jnp.ndarray, ndim_target: int) -> N.ShiftScale:

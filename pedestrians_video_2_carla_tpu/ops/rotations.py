@@ -58,6 +58,26 @@ def _axis_rotation(axis: str, angle: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(flat, axis=-1).reshape(angle.shape + (3, 3))
 
 
+def euler_angles_to_matrix_np(euler_angles, convention: str = "XYZ"):
+    """Pure-numpy variant for host-side constant loading (safe to call while
+    a jit trace is active — jnp ops would be staged by omnistaging)."""
+    import numpy as np
+    euler_angles = np.asarray(euler_angles)
+
+    def axis_rot(axis, a):
+        c, s = np.cos(a), np.sin(a)
+        one, zero = np.ones_like(a), np.zeros_like(a)
+        flat = {
+            "X": (one, zero, zero, zero, c, -s, zero, s, c),
+            "Y": (c, zero, s, zero, one, zero, -s, zero, c),
+            "Z": (c, -s, zero, s, c, zero, zero, zero, one),
+        }[axis]
+        return np.stack(flat, axis=-1).reshape(a.shape + (3, 3))
+
+    mats = [axis_rot(c, euler_angles[..., i]) for i, c in enumerate(convention)]
+    return mats[0] @ mats[1] @ mats[2]
+
+
 def euler_angles_to_matrix(euler_angles: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
     """(..., 3) angles in radians -> (..., 3, 3); R = R_c0(a0) @ R_c1(a1) @ R_c2(a2)."""
     euler_angles = jnp.asarray(euler_angles)

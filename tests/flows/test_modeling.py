@@ -1,0 +1,87 @@
+"""End-to-end CLI smoke tests: in-process ``modeling.main()`` with tiny
+configs on the synthetic Carla2D3D generator (mirrors reference
+``tests/test_modeling.py:11-196`` — the synthetic generator IS the fake
+backend; no dataset, TPU, or CARLA server needed)."""
+import pytest
+
+from pedestrians_video_2_carla_tpu.modeling import main
+
+BASE = [
+    "--mode=train", "--data_module_name=Carla2D3D",
+    "--batch_size=4", "--clip_length=4",
+    "--val_set_size=4", "--test_set_size=4",
+    "--max_epochs=1", "--limit_train_batches=2",
+    "--log_every_n_steps=1", "--renderers", "none",
+    "--root_dir=/tmp/pv2c_test_outputs",
+]
+
+
+def _run(*extra):
+    results = main(BASE + list(extra))
+    assert "val_metrics" in results or "test_metrics" in results \
+        or "predictions" in results
+    return results
+
+
+@pytest.mark.parametrize("loss_modes", [
+    ["loc_2d"], ["loc_2d_3d"], ["cum_pose_changes"], ["loc_2d_loc_rot_3d"],
+])
+def test_pose_lifting_loss_modes(loss_modes):
+    results = _run("--flow=pose_lifting", "--movements_model_name=Linear",
+                   "--loss_modes", *loss_modes)
+    vm = results["val_metrics"]
+    assert "val_loss/primary" in vm
+    assert vm["val/MPJPE"] > 0
+
+
+@pytest.mark.parametrize("model,output_type", [
+    ("Linear", "pose_changes"),
+    ("Linear", "relative_rot"),
+    ("Linear", "absolute_loc"),
+    ("LinearAEResidual", "absolute_loc_rot"),
+])
+def test_pose_lifting_output_types(model, output_type):
+    loss = {"pose_changes": "loc_2d", "relative_rot": "loc_2d",
+            "absolute_loc": "loc_2d", "absolute_loc_rot": "loc_2d"}[output_type]
+    results = _run("--flow=pose_lifting", f"--movements_model_name={model}",
+                   f"--movements_output_type={output_type}",
+                   "--loss_modes", loss)
+    assert results["val_metrics"]["val_loss/primary"] >= 0
+
+
+def test_pose_lifting_lstm_and_weighted_loss():
+    results = _run("--flow=pose_lifting", "--movements_model_name=LSTM",
+                   "--loss_modes", "weighted_loc_2d_loc_rot_3d",
+                   "--loss_weights", "loc_2d=1.0", "loc_3d=1.0", "rot_3d=3.0")
+    assert "val_loss/weighted_loc_2d_loc_rot_3d" in results["val_metrics"]
+
+
+def test_autoencoder_flow_with_noise():
+    results = _run("--flow=autoencoder", "--movements_model_name=LinearAE2D",
+                   "--noise", "gaussian", "--noise_param", "2.0",
+                   "--missing_joint_probabilities_0", "0.1")
+    vm = results["val_metrics"]
+    assert "val/PCKhn@01" in vm and "val/MSE" in vm
+
+
+def test_classification_flow():
+    results = _run("--flow=classification",
+                   "--classification_model_name=LSTM")
+    vm = results["val_metrics"]
+    assert "val/Accuracy" in vm and "val/AUROC" in vm
+
+
+def test_test_and_predict_modes():
+    results = main(BASE[1:] + [
+        "--mode=test", "--flow=pose_lifting",
+        "--movements_model_name=Linear", "--loss_modes", "loc_2d",
+        "--data_module_name=Carla2D3D",
+    ])
+    assert "test/MPJPE" in results["test_metrics"]
+
+    results = main(BASE[1:] + [
+        "--mode=predict", "--flow=pose_lifting",
+        "--movements_model_name=Linear", "--loss_modes", "loc_2d",
+        "--data_module_name=Carla2D3D", "--predict_sets", "val",
+    ])
+    assert len(results["predictions"]["val"]) >= 1
