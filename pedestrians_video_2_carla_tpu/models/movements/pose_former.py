@@ -1,0 +1,163 @@
+"""PoseFormer (Zheng et al., ICCV'21): spatial transformer over joints per
+frame + temporal transformer over the receptive window, predicting the center
+frame's 3D pose.
+
+Reference wrapper: ``modules/movements/pose_former/pose_former.py:17-138``
+(sliding window of ``receptive_frames`` over the clip, center-out writes,
+``eval_slice`` trimming the uncovered edges). TPU-first: instead of a Python
+loop invoking the transformer per window, all L-rf+1 windows are gathered and
+folded into the batch axis — one big transformer call; window-center
+predictions are scattered back to their frame positions.
+
+``PoseFormerRot`` is the 6D-rotations variant (``pose_former_rot.py``)."""
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...flows.output_types import MovementsModelOutputType
+from ...ops.rotations import rotation_6d_to_matrix
+from .common import MovementsModel
+
+
+class _Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop, deterministic=not training)(x)
+        x = nn.Dense(self.out)(x)
+        return nn.Dropout(self.drop, deterministic=not training)(x)
+
+
+class _Block(nn.Module):
+    """Pre-norm transformer block (timm-style, as used by PoseFormer)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    drop: float
+    attn_drop: float
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = nn.LayerNorm()(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            dropout_rate=self.attn_drop, deterministic=not training)(y, y)
+        x = x + nn.Dropout(self.drop, deterministic=not training)(y)
+        y = nn.LayerNorm()(x)
+        y = _Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop)(
+            y, training)
+        return x + y
+
+
+class PoseFormer(MovementsModel):
+    clip_length: int = 30
+    receptive_frames: int = 9
+    single_joint_embeddings_size: int = 32
+    depth: int = 4
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    movements_output_type: MovementsModelOutputType = \
+        MovementsModelOutputType.absolute_loc
+
+    @property
+    def _out_features(self):
+        return 3
+
+    @property
+    def eval_slice(self):
+        shift = self.receptive_frames // 2
+        return slice(shift, self.clip_length - self.receptive_frames
+                     + shift + 1)
+
+    def _windows(self, x):
+        """(B, L, J, C) -> (B, W, rf, J, C) sliding windows."""
+        L = x.shape[1]
+        rf = self.receptive_frames
+        W = L - rf + 1
+        starts = jnp.arange(W)[:, None] + jnp.arange(rf)[None, :]  # (W, rf)
+        return x[:, starts]  # gather -> (B, W, rf, J, C)
+
+    @nn.compact
+    def __call__(self, x, targets=None, training: bool = False):
+        B, L, J, C = x.shape
+        rf = self.receptive_frames
+        W = L - rf + 1
+        emb = self.single_joint_embeddings_size
+        frame_dim = J * emb
+
+        windows = self._windows(x[..., :2])          # (B, W, rf, J, 2)
+        h = windows.reshape(B * W, rf, J, 2)
+
+        # spatial transformer: joints as tokens, per frame
+        s = nn.Dense(emb, name="spatial_patch_embed")(h)  # (BW, rf, J, emb)
+        s = s + self.param("spatial_pos_embed",
+                           nn.initializers.truncated_normal(0.02),
+                           (1, 1, J, emb))
+        s = nn.Dropout(self.drop_rate, deterministic=not training)(s)
+        s = s.reshape(B * W * rf, J, emb)
+        for i in range(self.depth):
+            s = _Block(emb, self.num_heads, self.mlp_ratio, self.drop_rate,
+                       self.attn_drop_rate, name=f"spatial_block_{i}")(
+                s, training)
+        s = nn.LayerNorm(name="spatial_norm")(s)
+
+        # temporal transformer: frames as tokens
+        t = s.reshape(B * W, rf, frame_dim)
+        t = t + self.param("temporal_pos_embed",
+                           nn.initializers.truncated_normal(0.02),
+                           (1, rf, frame_dim))
+        t = nn.Dropout(self.drop_rate, deterministic=not training)(t)
+        for i in range(self.depth):
+            t = _Block(frame_dim, self.num_heads, self.mlp_ratio,
+                       self.drop_rate, self.attn_drop_rate,
+                       name=f"temporal_block_{i}")(t, training)
+        t = nn.LayerNorm(name="temporal_norm")(t)
+
+        # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1))
+        w = self.param("weighted_mean", nn.initializers.normal(0.02), (rf,))
+        pooled = jnp.einsum("nfd,f->nd", t, w)       # (BW, frame_dim)
+
+        out = nn.Dense(J * self._out_features, name="head")(
+            nn.LayerNorm(name="head_norm")(pooled))
+        out = out.reshape(B, W, J, self._out_features)
+
+        # scatter window-center predictions to their frame positions; edge
+        # frames keep zeros (exactly what eval_slice trims — reference
+        # pose_former.py:113-127)
+        shift = rf // 2
+        full = jnp.zeros((B, L, J, self._out_features), out.dtype)
+        full = full.at[:, shift:shift + W].set(out)
+        return self._finalize(full)
+
+    def _finalize(self, out):
+        return out
+
+    @staticmethod
+    def supported_output_types():
+        return [MovementsModelOutputType.absolute_loc]
+
+
+class PoseFormerRot(PoseFormer):
+    movements_output_type: MovementsModelOutputType = \
+        MovementsModelOutputType.relative_rot
+
+    @property
+    def _out_features(self):
+        return 6
+
+    def _finalize(self, out):
+        return rotation_6d_to_matrix(out)
+
+    @staticmethod
+    def supported_output_types():
+        return [MovementsModelOutputType.relative_rot]

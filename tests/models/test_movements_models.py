@@ -1,0 +1,127 @@
+"""Shape/grad smoke tests for every movements model (the reference covers the
+model zoo through CLI smoke tests; here each model also gets a direct unit)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pedestrians_video_2_carla_tpu.flows.output_types import \
+    MovementsModelOutputType as MOT
+from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+
+B, L, J = 2, 12, 26
+
+
+def _init_and_apply(model, x, training=False, targets=None):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, targets, training=training)
+    mutable = [k for k in variables if k != "params"]
+    if training and mutable:
+        out, _ = model.apply(variables, x, targets, training=training,
+                             rngs={"dropout": jax.random.PRNGKey(2)},
+                             mutable=mutable)
+    else:
+        out = model.apply(variables, x, targets, training=training,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    return out, variables
+
+
+def _check_output(out, output_type, expected_joints=J, clip=L):
+    if output_type in (MOT.pose_changes, MOT.relative_rot):
+        assert out.shape == (B, clip, expected_joints, 3, 3)
+        # valid rotations
+        eye = np.einsum("...ij,...kj->...ik", np.asarray(out), np.asarray(out))
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+    elif output_type == MOT.absolute_loc:
+        assert out.shape == (B, clip, expected_joints, 3)
+    elif output_type == MOT.absolute_loc_rot:
+        loc, rot = out
+        assert loc.shape == (B, clip, expected_joints, 3)
+        assert rot.shape == (B, clip, expected_joints, 3, 3)
+    elif output_type == MOT.pose_2d:
+        assert out.shape == (B, clip, expected_joints, 2)
+
+
+@pytest.mark.parametrize("name", sorted(MOVEMENTS_MODELS.keys()))
+def test_model_forward_shapes(name, rng):
+    cls = MOVEMENTS_MODELS[name]
+    kwargs = {}
+    if name.startswith("PoseFormer"):
+        kwargs["clip_length"] = L
+    model = cls(**kwargs)
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    out, _ = _init_and_apply(model, x)
+    if name.startswith("PoseFormer"):
+        # edge frames outside the receptive-field coverage are zeros by
+        # design and get trimmed by eval_slice — validate covered frames only
+        es = model.eval_slice
+        out = out[:, es] if not isinstance(out, tuple) \
+            else tuple(o[:, es] for o in out)
+        _check_output(out, model.output_type,
+                      clip=len(range(*es.indices(L))))
+    else:
+        _check_output(out, model.output_type)
+
+
+def test_poseformer_eval_slice():
+    model = MOVEMENTS_MODELS["PoseFormer"](clip_length=L, receptive_frames=9)
+    es = model.eval_slice
+    assert es == slice(4, L - 9 + 4 + 1)
+    x = jnp.zeros((B, L, J, 2))
+    out, _ = _init_and_apply(model, x)
+    # frames outside the coverage are exactly zero, covered frames are not
+    assert np.all(np.asarray(out)[:, :4] == 0)
+
+
+def test_seq2seq_teacher_forcing_runs(rng):
+    from tests.ops.np_reference import random_rotation_matrices
+    model = MOVEMENTS_MODELS["Seq2SeqEmbeddings"](
+        teacher_mode="frames_force", teacher_force_ratio=0.5)
+    assert model.needs_targets
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    targets = {"pose_changes": jnp.asarray(
+        random_rotation_matrices(rng, (B, L, J)).astype(np.float32))}
+    out, _ = _init_and_apply(model, x, training=True, targets=targets)
+    _check_output(out, MOT.pose_changes)
+
+
+def test_seq2seq_residual_variants_differ(rng):
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    outs = {}
+    for name in ("Seq2SeqEmbeddings", "Seq2SeqResidualA", "Seq2SeqResidualB"):
+        model = MOVEMENTS_MODELS[name]()
+        out, _ = _init_and_apply(model, x)
+        outs[name] = np.asarray(out)
+    assert not np.allclose(outs["Seq2SeqEmbeddings"], outs["Seq2SeqResidualA"])
+    assert not np.allclose(outs["Seq2SeqResidualA"], outs["Seq2SeqResidualB"])
+
+
+def test_videopose3d_receptive_field_and_grad(rng):
+    model = MOVEMENTS_MODELS["VideoPose3D"](filter_widths=(3, 3))
+    assert model.receptive_field == 9
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           training=False)
+
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, training=False)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
+
+
+def test_simple_transformer_grad(rng):
+    model = MOVEMENTS_MODELS["SimpleTransformer"]()
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(params):
+        out = model.apply({"params": params}, x)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
