@@ -1,0 +1,289 @@
+"""HDF5-cached datamodule base: settings-digest-keyed subset preparation,
+in-memory subsets, batched iteration through the jit preprocessing graph, and
+predictions-as-dataset chaining.
+
+Re-designs reference ``data/base/base_datamodule.py:52-630``: the prepare
+pipeline (``_read_data -> _clean_filter_sort_data -> _extract_clips ->
+_extract_additional_data -> _clean_filter_sort_clips -> _split_and_save_clips``)
+and the digest-keyed cache layout are kept 1:1 (subsets are interchangeable on
+disk), but instead of torch DataLoader workers running per-clip Python
+transforms, whole batches are sliced from in-memory numpy and pushed through
+``ops.preprocessing.process_batch`` — one device-side fused graph.
+"""
+import copy
+import hashlib
+import math
+import os
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+import yaml
+
+from ...ops.preprocessing import PreprocessingConfig, process_batch
+from ...skeletons.carla import age_gender_to_index
+from .datamodule import BaseDataModule
+from .hdf5_utils import load_subset, save_subset
+
+SUBSETS_BASE = "subsets"
+
+
+class Hdf5DataModule(BaseDataModule):
+    def __init__(self,
+                 outputs_dir: str = "outputs",
+                 subsets_dir: Optional[str] = None,
+                 clip_offset: Optional[int] = None,
+                 val_set_frac: float = 0.2,
+                 test_set_frac: float = 0.2,
+                 noise: str = "zero",
+                 noise_param: float = 1.0,
+                 missing_joint_probabilities=(),
+                 augment_flip=False,
+                 augment_rotate=False,
+                 seed: int = 22742,
+                 fast_dev_run: bool = False,
+                 **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.outputs_dir = outputs_dir
+        self.clip_offset = clip_offset if clip_offset is not None \
+            else self.clip_length
+        self.val_set_frac = val_set_frac
+        self.test_set_frac = test_set_frac
+        self.seed = seed
+        self._fast_dev_run = fast_dev_run
+        self._class_labels: Optional[Dict[str, List[str]]] = None
+        self._class_counts: Dict[str, Dict] = {"train": {}, "val": {},
+                                               "test": {}}
+
+        self.preprocessing = PreprocessingConfig(
+            data_nodes=self.data_nodes,
+            input_nodes=self.input_nodes,
+            transform=self.transform,
+            noise=noise, noise_param=noise_param,
+            missing_joint_probabilities=tuple(
+                missing_joint_probabilities or ()),
+            augment_flip=(0.5 if augment_flip is True else augment_flip)
+            or 0.0,
+            augment_rotate=(10.0 if augment_rotate is True else augment_rotate)
+            or 0.0,
+            needs_confidence=self.needs_confidence,
+        )
+
+        self._settings_digest = self._calculate_settings_digest()
+        self._subsets_dir = subsets_dir or os.path.join(
+            self.outputs_dir, type(self).__name__, SUBSETS_BASE,
+            self._settings_digest)
+        self._subsets: Dict[str, Tuple] = {}
+        self._set_size: Dict[str, int] = {}
+
+    # -- settings digest ---------------------------------------------------
+    @property
+    def settings(self) -> Dict[str, Any]:
+        return {
+            "data_module_name": type(self).__name__,
+            "clip_length": self.clip_length,
+            "clip_offset": self.clip_offset,
+            "data_nodes": self.data_nodes.__name__,
+        }
+
+    def _calculate_settings_digest(self) -> str:
+        settings = {k: self.settings[k] for k in sorted(self.settings)}
+        return hashlib.md5("-".join(
+            f"{k}={v}" for k, v in settings.items()).encode()).hexdigest()
+
+    @property
+    def settings_digest(self) -> str:
+        return self._settings_digest
+
+    @property
+    def subsets_dir(self) -> str:
+        return self._subsets_dir
+
+    @property
+    def class_labels(self):
+        return self._class_labels
+
+    def save_settings(self):
+        with open(os.path.join(self._subsets_dir, "dparams.yaml"), "w") as f:
+            settings = copy.deepcopy(self.settings)
+            settings.update({f"{k}_set_size": v
+                             for k, v in self._set_size.items()})
+            if self._class_labels is not None:
+                settings["class_labels"] = self._class_labels
+            if self._class_counts is not None:
+                settings["class_counts"] = self._class_counts
+            yaml.safe_dump(settings, f)
+
+    # -- preparation pipeline ---------------------------------------------
+    def prepare_data(self) -> None:
+        if os.path.exists(self._subsets_dir) \
+                and os.path.exists(os.path.join(self._subsets_dir,
+                                                "dparams.yaml")):
+            self._load_set_info()
+            return
+        os.makedirs(self._subsets_dir, exist_ok=True)
+        data = self._read_data()
+        data = self._clean_filter_sort_data(data)
+        clips = self._extract_clips(data)
+        clips = self._extract_additional_data(clips)
+        clips = self._clean_filter_sort_clips(clips)
+        self._set_size = self._split_and_save_clips(clips)
+        self.save_settings()
+
+    def _load_set_info(self):
+        with open(os.path.join(self._subsets_dir, "dparams.yaml")) as f:
+            params = yaml.safe_load(f)
+        self._class_labels = params.get("class_labels")
+        self._class_counts = params.get("class_counts", self._class_counts)
+        for name in ("train", "val", "test"):
+            if f"{name}_set_size" in params:
+                self._set_size[name] = params[f"{name}_set_size"]
+
+    def _read_data(self):
+        raise NotImplementedError
+
+    def _clean_filter_sort_data(self, data):
+        return data
+
+    def _extract_clips(self, data):
+        raise NotImplementedError
+
+    def _extract_additional_data(self, clips):
+        return clips
+
+    def _clean_filter_sort_clips(self, clips):
+        return clips
+
+    def _split_and_save_clips(self, clips) -> Dict[str, int]:
+        raise NotImplementedError
+
+    def _save_subset(self, name, projection_2d, targets, meta,
+                     save_dir=None) -> int:
+        path = os.path.join(save_dir or self._subsets_dir, f"{name}.hdf5")
+        return save_subset(path, projection_2d, targets, meta)
+
+    # -- setup & iteration -------------------------------------------------
+    def setup(self, stage: Optional[str] = None) -> None:
+        for name in ("train", "val", "test"):
+            path = os.path.join(self._subsets_dir, f"{name}.hdf5")
+            if os.path.exists(path) and name not in self._subsets:
+                projection_2d, targets, meta = load_subset(path)
+                meta["age_gender_idx"] = np.asarray([
+                    age_gender_to_index(a, g) for a, g in
+                    zip(meta.get("age", ["adult"] * len(projection_2d)),
+                        meta.get("gender", ["female"] * len(projection_2d)))
+                ], dtype=np.int32)
+                self._subsets[name] = (projection_2d, targets, meta)
+
+    def _iter_subset(self, name: str, shuffle: bool, training: bool,
+                     seed: int = 0) -> Iterator:
+        if name not in self._subsets:
+            return
+        projection_2d, targets, meta = self._subsets[name]
+        n = len(projection_2d)
+        if n == 0:
+            return
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(self.seed + seed).shuffle(order)
+        key = jax.random.PRNGKey(self.seed + seed + (17 if training else 3))
+        num_batches = n // self.batch_size
+        if num_batches == 0:
+            # pad the final partial batch by wrapping around (static shapes)
+            order = np.resize(order, self.batch_size)
+            num_batches = 1
+        for b in range(num_batches):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            raw = projection_2d[idx]
+            clip_size = None
+            if "clip_width" in meta:
+                clip_size = np.stack([meta["clip_width"][idx],
+                                      meta["clip_height"][idx]],
+                                     axis=-1).astype(np.float32)
+            inputs, proc_targets = process_batch(
+                jax.random.fold_in(key, b), raw, self.preprocessing,
+                training,
+                bboxes=targets["bboxes"][idx] if "bboxes" in targets else None,
+                clip_size=clip_size)
+            batch_targets = {k: v[idx] for k, v in targets.items()}
+            batch_targets.update(proc_targets)
+            # only numeric meta crosses the host->device boundary
+            batch_meta = {k: v[idx] for k, v in meta.items()
+                          if isinstance(v, np.ndarray)
+                          and v.dtype.kind in "biuf"}
+            yield inputs, batch_targets, batch_meta
+
+    def train_batches(self, seed: int = 0) -> Iterator:
+        return self._iter_subset("train", shuffle=True, training=True,
+                                 seed=seed)
+
+    def val_batches(self) -> Iterator:
+        return self._iter_subset("val", shuffle=False, training=False)
+
+    def test_batches(self) -> Iterator:
+        return self._iter_subset("test", shuffle=False, training=False)
+
+    def predict_batches(self, set_name: str) -> Iterator:
+        return self._iter_subset(set_name, shuffle=False, training=False)
+
+    @property
+    def train_set_size(self):
+        return self._set_size.get("train")
+
+    @property
+    def val_set_size(self):
+        return self._set_size.get("val")
+
+    @property
+    def test_set_size(self):
+        return self._set_size.get("test")
+
+    # -- predictions-as-dataset chaining ----------------------------------
+    def save_predictions(self, set_name: str, outputs: List[Tuple],
+                         run_id: str = "run") -> str:
+        """Denormalize predicted 2D poses and write a new subsets tree usable
+        as a datamodule input for flow chaining (reference
+        ``base_datamodule.py:560-630``)."""
+        from ...ops import normalization as N
+
+        save_dir = os.path.join(
+            self.outputs_dir, f"{type(self).__name__}Predictions",
+            SUBSETS_BASE, self._settings_digest, run_id)
+        os.makedirs(save_dir, exist_ok=True)
+
+        all_proj, all_targets, all_meta = [], [], []
+        for preds, targets in outputs:
+            key = "projection_2d_transformed" \
+                if preds.get("projection_2d_transformed") is not None \
+                else "projection_2d"
+            pred_pose = np.asarray(preds[key])[..., :2]
+            if key == "projection_2d_transformed" \
+                    and targets.get("projection_2d_shift") is not None:
+                ss = N.ShiftScale(np.asarray(targets["projection_2d_shift"]),
+                                  np.asarray(targets["projection_2d_scale"]))
+                pred_pose = np.asarray(N.denormalize(pred_pose, ss))
+            all_proj.append(pred_pose)
+            all_targets.append({k: np.asarray(v) for k, v in targets.items()
+                                if k.startswith("projection_2d") is False})
+            all_meta.append({})
+
+        projection_2d = np.concatenate(all_proj)
+        merged_targets: Dict[str, np.ndarray] = {}
+        for k in all_targets[0].keys():
+            try:
+                merged_targets[k] = np.concatenate(
+                    [t[k] for t in all_targets])
+            except (ValueError, KeyError):
+                continue
+        self._save_subset(set_name, projection_2d, merged_targets,
+                          {}, save_dir=save_dir)
+        return save_dir
+
+    @property
+    def hparams(self):
+        return {**super().hparams,
+                "settings_digest": self._settings_digest,
+                "subsets_dir": self._subsets_dir,
+                "noise": self.preprocessing.noise,
+                "missing_joint_probabilities":
+                    list(self.preprocessing.missing_joint_probabilities)}

@@ -106,12 +106,15 @@ def generate_batch(key: jax.Array, cfg: Carla2D3DConfig):
         targets["projection_2d_deformed"] = inputs
 
     if cfg.transform not in (None, "none"):
-        normalized, ss = N.normalize_with(
+        normalized, _ = N.normalize_with(
             inputs, CARLA_SKELETON, extractor=cfg.transform)
-        clean_norm = N.normalize(targets["projection_2d"], ss, dim=2)
+        # clean targets use their own shift/scale (reference
+        # projection_2d_mixin.py:215-229 semantics)
+        clean_norm, clean_ss = N.normalize_with(
+            targets["projection_2d"], CARLA_SKELETON, extractor=cfg.transform)
         targets["projection_2d_transformed"] = clean_norm[..., :2]
-        targets["projection_2d_shift"] = ss.shift
-        targets["projection_2d_scale"] = ss.scale
+        targets["projection_2d_shift"] = clean_ss.shift
+        targets["projection_2d_scale"] = clean_ss.scale
         inputs = normalized
 
     if cfg.needs_confidence:

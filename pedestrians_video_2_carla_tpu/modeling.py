@@ -85,7 +85,20 @@ def add_datamodule_args(parser: argparse.ArgumentParser):
     group.add_argument("--noise_param", type=float, default=1.0)
     group.add_argument("--data_variant", default=None)
     group.add_argument("--source_videos_dir", default=None)
-    group.add_argument("--classification_targets_key", default="crossing")
+    group.add_argument("--datasets_dir", default="datasets")
+    group.add_argument("--outputs_dir", default="outputs")
+    group.add_argument("--subsets_dir", default=None)
+    group.add_argument("--clip_offset", type=int, default=None)
+    group.add_argument("--val_set_frac", type=float, default=0.2)
+    group.add_argument("--test_set_frac", type=float, default=0.2)
+    group.add_argument("--strong_points", type=float, default=0)
+    group.add_argument("--iou_threshold", type=float, default=0.1)
+    group.add_argument("--sample_type", default="beh", choices=["beh", "all"])
+    group.add_argument("--augment_flip", type=boolean, default=False)
+    group.add_argument("--augment_rotate", type=boolean, default=False)
+    group.add_argument("--balance_classes", type=boolean, default=False)
+    group.add_argument("--label_frames", type=float, default=-1)
+    group.add_argument("--classification_targets_key", default=None)
     group.add_argument("--num_classes", type=int, default=2)
     group.add_argument("--classification_average", default="macro")
     list_arg_as_flat_args(group, "missing_joint_probabilities", 26, None,
@@ -273,7 +286,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         loss_params=flat_args_as_list_arg(args_dict, "loss_params"),
         mask_missing_joints=args.mask_missing_joints,
         transform=args.transform,
-        classification_targets_key=args.classification_targets_key,
+        classification_targets_key=args.classification_targets_key
+        or "crossing",
         classification_average=args.classification_average,
         num_classes=args.num_classes,
     )
@@ -297,7 +311,22 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         missing_joint_probabilities=flat_args_as_list_arg(
             args_dict, "missing_joint_probabilities"),
         seed=args.seed,
+        datasets_dir=args.datasets_dir, outputs_dir=args.outputs_dir,
+        subsets_dir=args.subsets_dir, clip_offset=args.clip_offset,
+        val_set_frac=args.val_set_frac, test_set_frac=args.test_set_frac,
+        strong_points=args.strong_points, iou_threshold=args.iou_threshold,
+        sample_type=args.sample_type,
+        augment_flip=args.augment_flip, augment_rotate=args.augment_rotate,
+        balance_classes=args.balance_classes, label_frames=args.label_frames,
+        num_classes=args.num_classes,
     )
+    if args.classification_targets_key:
+        dm_kwargs["classification_targets_key"] = \
+            args.classification_targets_key
+    if args.data_variant:
+        dm_kwargs["data_variant"] = args.data_variant
+    if args.source_videos_dir:
+        dm_kwargs["source_videos_dir"] = args.source_videos_dir
     if data_nodes is not None:
         dm_kwargs["data_nodes"] = data_nodes
     if input_nodes is not None:

@@ -1,0 +1,161 @@
+"""CarlaRecorded datamodule end-to-end: synthesize a tiny CARLA-BSP-format
+``data.csv`` from this framework's own FK+projection, then run the full
+prepare -> HDF5 cache -> setup -> batches cycle (the reference has no
+CarlaRecorded test fixture at all; its tests only cover the synthetic and
+JAAD paths)."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import (
+    CarlaBenchmarkDataModule, CarlaRecordedDataModule)
+
+N_VIDEOS = 4
+N_FRAMES = 40
+CLIP_LEN = 8
+
+
+@pytest.fixture(scope="module")
+def carla_csv(tmp_path_factory):
+    from pedestrians_video_2_carla_tpu.ops.kinematics import forward_kinematics
+    from pedestrians_video_2_carla_tpu.ops.camera import make_camera, project_pose
+    from pedestrians_video_2_carla_tpu.skeletons.carla import (
+        load_reference_pose, load_reference_pose_carla)
+
+    root = tmp_path_factory.mktemp("carla_recorded")
+    rel_loc, rel_rot = load_reference_pose("adult_female")
+    abs_loc, _ = forward_kinematics(rel_loc, rel_rot)
+    cam = make_camera()
+    proj = np.asarray(project_pose(cam, np.asarray(abs_loc)[None]))[0, :, :2]
+    carla_loc, carla_pyr, _ = load_reference_pose_carla("adult_female")
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for vid in range(N_VIDEOS):
+        for frame in range(N_FRAMES):
+            jitter = rng.normal(scale=1.0, size=proj.shape)
+            pose_camera = np.clip(proj + jitter, 1, 599).tolist()
+            bone_transform = np.concatenate(
+                [carla_loc, carla_pyr], axis=-1).tolist()
+            rows.append({
+                "id": f"video_{vid:02d}",
+                "camera.idx": 0,
+                "pedestrian.idx": 0,
+                "frame.idx": frame,
+                "camera.recording": f"video_{vid:02d}.mp4",
+                "camera.width": 800, "camera.height": 600,
+                "camera.transform": str([3.1, 0, 1.2, 0, 0, 0]),
+                "pedestrian.age": "adult",
+                "pedestrian.gender": "female" if vid % 2 else "male",
+                "pedestrian.spawn_point": str([0, 0, 0, 0, 0, 0]),
+                "frame.pedestrian.is_crossing": frame > N_FRAMES // 2,
+                "frame.pedestrian.transform": str(
+                    [0.1 * frame, 0, 0, 0, 0, 0]),
+                "frame.pedestrian.velocity": str([0.1, 0.0, 0.0]),
+                "frame.pedestrian.pose.world": str(bone_transform),
+                "frame.pedestrian.pose.component": str(bone_transform),
+                "frame.pedestrian.pose.relative": str(bone_transform),
+                "frame.pedestrian.pose.camera": str(pose_camera),
+            })
+    df = pd.DataFrame(rows)
+    os.makedirs(root / "default", exist_ok=True)
+    df.to_csv(root / "default" / "data.csv", index=False)
+    return str(root)
+
+
+def _make_dm(carla_csv, tmp_path, cls=CarlaRecordedDataModule, **kw):
+    kwargs = dict(datasets_dir=carla_csv, outputs_dir=str(tmp_path),
+                  batch_size=4, clip_length=CLIP_LEN, clip_offset=4,
+                  val_set_frac=0.25, test_set_frac=0.25)
+    kwargs.update(kw)
+    return cls(**kwargs)
+
+
+def test_prepare_creates_digest_keyed_subsets(carla_csv, tmp_path):
+    dm = _make_dm(carla_csv, tmp_path)
+    dm.prepare_data()
+    assert os.path.exists(os.path.join(dm.subsets_dir, "train.hdf5"))
+    assert os.path.exists(os.path.join(dm.subsets_dir, "dparams.yaml"))
+    assert dm.settings_digest in dm.subsets_dir
+    # second prepare with same settings reuses the cache
+    dm2 = _make_dm(carla_csv, tmp_path)
+    dm2.prepare_data()
+    assert dm2.subsets_dir == dm.subsets_dir
+    # different settings -> different digest
+    dm3 = _make_dm(carla_csv, tmp_path, clip_length=CLIP_LEN + 2)
+    assert dm3.settings_digest != dm.settings_digest
+
+
+def test_no_video_leakage_between_sets(carla_csv, tmp_path):
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import load_subset
+    dm = _make_dm(carla_csv, tmp_path)
+    dm.prepare_data()
+    videos = {}
+    for name in ("train", "val", "test"):
+        path = os.path.join(dm.subsets_dir, f"{name}.hdf5")
+        if os.path.exists(path):
+            _, _, meta = load_subset(path)
+            videos[name] = set(meta["video_id"])
+    for a in videos:
+        for b in videos:
+            if a != b:
+                assert not (videos[a] & videos[b]), (a, b)
+
+
+def test_batches_have_expected_structure(carla_csv, tmp_path):
+    dm = _make_dm(carla_csv, tmp_path)
+    dm.prepare_data()
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches()))
+    inputs, targets, meta = batch
+    assert inputs.shape == (4, CLIP_LEN, 26, 2)
+    assert targets["absolute_pose_loc"].shape == (4, CLIP_LEN, 26, 3)
+    assert targets["absolute_pose_rot"].shape == (4, CLIP_LEN, 26, 3, 3)
+    assert targets["projection_2d"].shape == (4, CLIP_LEN, 26, 2)
+    assert "projection_2d_transformed" in targets
+    assert "frame.pedestrian.is_crossing" in targets
+    assert meta["age_gender_idx"].shape == (4,)
+    # normalized inputs are roughly O(1)
+    assert float(np.abs(np.asarray(inputs)).max()) < 50
+
+
+def test_training_runs_on_carla_recorded(carla_csv, tmp_path):
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.training.trainer import (Trainer,
+                                                                TrainerConfig)
+    dm = _make_dm(carla_csv, tmp_path)
+    dm.prepare_data()
+    dm.setup("fit")
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["Linear"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-3))
+    trainer = Trainer(flow, dm, TrainerConfig(
+        max_epochs=1, limit_train_batches=2,
+        logs_dir=str(tmp_path / "logs"), run_name="cr",
+        skip_initial_metrics=True))
+    trainer.fit()
+    metrics = trainer.evaluate("val")
+    assert "val_loss/primary" in metrics
+
+
+def test_benchmark_variant_tte_window(carla_csv, tmp_path):
+    dm = _make_dm(carla_csv, tmp_path, cls=CarlaBenchmarkDataModule,
+                  clip_offset=2, tte=(2, 10))
+    dm.prepare_data()
+    dm.setup("fit")
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import load_subset
+    found = False
+    for name in ("train", "val", "test"):
+        path = os.path.join(dm.subsets_dir, f"{name}.hdf5")
+        if os.path.exists(path):
+            _, targets, meta = load_subset(path)
+            assert "crossing" in meta
+            found = True
+    assert found
