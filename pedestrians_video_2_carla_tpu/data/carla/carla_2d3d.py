@@ -127,6 +127,7 @@ def generate_batch(key: jax.Array, cfg: Carla2D3DConfig):
 
 
 class Carla2D3DDataModule(BaseDataModule):
+    default_data_nodes = CARLA_SKELETON
     """Infinite synthetic train stream + fixed-seed val/test sets."""
 
     @classmethod

@@ -40,6 +40,7 @@ def _np_bboxes(projection_2d: np.ndarray, near_zero=1e-5) -> np.ndarray:
 
 class CarlaRecordedDataModule(ClassificationDataModuleMixin,
                               PandasDataModuleMixin, Hdf5DataModule):
+    default_data_nodes = CARLA_SKELETON
     def __init__(self,
                  data_variant: str = CARLA_RECORDED_DEFAULT_SET_NAME,
                  source_videos_dir: str = None,

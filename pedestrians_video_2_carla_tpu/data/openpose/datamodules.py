@@ -38,6 +38,7 @@ PIE_USECOLS = ["set_name", "video", "frame", "x1", "y1", "x2", "y2", "id",
 
 class OpenPoseDataModule(ClassificationDataModuleMixin,
                          PandasDataModuleMixin, Hdf5DataModule):
+    default_data_nodes = BODY_25_SKELETON
     def __init__(self,
                  dataset_dirname: str,
                  datasets_dir: str = "datasets",

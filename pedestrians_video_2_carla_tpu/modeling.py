@@ -253,7 +253,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     # ---- build models -------------------------------------------------
     skeleton_kwargs = {}
-    data_nodes = args.data_nodes
+    data_nodes = args.data_nodes \
+        or getattr(dm_cls, "default_data_nodes", None)
     input_nodes = args.input_nodes or data_nodes
     if input_nodes is not None:
         skeleton_kwargs["input_nodes"] = input_nodes

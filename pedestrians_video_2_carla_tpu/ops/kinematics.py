@@ -29,8 +29,25 @@ from .rotations import mm
 _LEVEL_BONES = [np.asarray(lv, dtype=np.int32) for lv in TOPO_LEVELS]
 _LEVEL_PARENTS = [PARENTS[lv].astype(np.int32) for lv in TOPO_LEVELS]
 
+_LEVELS_CACHE = {}
 
-def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray
+
+def _levels_for(parents: Tuple[int, ...]):
+    """Bones grouped by tree depth for an arbitrary skeleton (cached)."""
+    if parents not in _LEVELS_CACHE:
+        p = np.asarray(parents, dtype=np.int32)
+        depth = np.zeros(len(p), dtype=np.int32)
+        for i, pi in enumerate(p):
+            depth[i] = 0 if pi < 0 else depth[pi] + 1
+        levels = [np.nonzero(depth == d)[0].astype(np.int32)
+                  for d in range(int(depth.max()) + 1)]
+        _LEVELS_CACHE[parents] = (
+            [lv for lv in levels], [p[lv] for lv in levels])
+    return _LEVELS_CACHE[parents]
+
+
+def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray,
+                       parents: Optional[Tuple[int, ...]] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Relative pose -> absolute pose (both root-relative "component" space).
 
@@ -44,17 +61,24 @@ def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray
     """
     rel_loc = jnp.asarray(rel_loc)
     rel_rot = jnp.asarray(rel_rot)
-    if rel_loc.shape[-2] != NUM_BONES or rel_rot.shape[-3] != NUM_BONES:
+    if parents is None:
+        num_bones = NUM_BONES
+        level_bones, level_parents = _LEVEL_BONES, _LEVEL_PARENTS
+    else:
+        num_bones = len(parents)
+        level_bones, level_parents = _levels_for(tuple(int(p)
+                                                       for p in parents))
+    if rel_loc.shape[-2] != num_bones or rel_rot.shape[-3] != num_bones:
         # out-of-bounds gathers would otherwise clamp silently under jit
         raise ValueError(
-            f"forward_kinematics expects {NUM_BONES} bones, got "
+            f"forward_kinematics expects {num_bones} bones, got "
             f"loc {rel_loc.shape} / rot {rel_rot.shape}")
     abs_loc = rel_loc
     abs_rot = rel_rot
     # level 0 is the root: parent is the identity transform, so abs == rel.
-    for bones, parents in zip(_LEVEL_BONES[1:], _LEVEL_PARENTS[1:]):
-        parent_rot = abs_rot[..., parents, :, :]
-        parent_loc = abs_loc[..., parents, :]
+    for bones, bone_parents in zip(level_bones[1:], level_parents[1:]):
+        parent_rot = abs_rot[..., bone_parents, :, :]
+        parent_loc = abs_loc[..., bone_parents, :]
         new_rot = mm(rel_rot[..., bones, :, :], parent_rot)
         # row-vector: loc' = loc @ R_parent + loc_parent
         # (expressed as (W,1,3)@(W,3,3) matmul rather than einsum: XLA CPU's

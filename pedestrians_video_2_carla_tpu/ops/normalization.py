@@ -93,7 +93,12 @@ def normalize(sample: jnp.ndarray, shift_scale: ShiftScale, dim: int = 2,
     preserved, and points with ~zero confidence are pinned to (0, 0)
     (reference ``normalizer.py:20-41``)."""
     shift, scale = shift_scale
-    coords = (sample[..., 0:dim] - shift[..., None, :]) / scale[..., None, None]
+    # clamp degenerate scales: dividing by ~0 produces inf whose nan_to_zero
+    # has a NaN *gradient*; the clamped result is zeroed below anyway
+    safe_scale = jnp.where(scale < near_zero, 1.0, scale)
+    coords = (sample[..., 0:dim] - shift[..., None, :]) \
+        / safe_scale[..., None, None]
+    coords = jnp.where((scale < near_zero)[..., None, None], 0.0, coords)
     coords = nan_to_zero(coords)
     if dim == 2 and sample.shape[-1] > 2:
         conf = sample[..., 2:]

@@ -100,15 +100,38 @@ def matrix_to_euler_angles(matrix: jnp.ndarray, convention: str = "XYZ") -> jnp.
     return jnp.stack([first, central, third], axis=-1)
 
 
+def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) column-vector-convention
+    rotation matrices (the convention SMPL body models use)."""
+    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    axis = axis_angle / jnp.maximum(angle, 1e-12)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1),
+    ], -2)
+    a = angle[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
+    return eye + jnp.sin(a) * K + (1.0 - jnp.cos(a)) * mm(K, K)
+
+
 def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     """Zhou et al. '19 continuous 6D representation -> rotation matrix,
     Gram-Schmidt on the two stored rows (pytorch3d-compatible layout: the 6D
     vector is rows 0 and 1 of the matrix)."""
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+
+    def safe_normalize(v):
+        # sqrt(sum+eps) keeps the gradient finite at v == 0 (a plain norm has
+        # a NaN gradient there, which poisons training on degenerate inputs)
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True)
+                                 + 1e-12)
+
+    b1 = safe_normalize(a1)
     a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2 - a2_proj
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    b2 = safe_normalize(a2 - a2_proj)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 
