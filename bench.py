@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = 256
 CLIP = 16
-TRAIN_STEPS = 20
+TRAIN_STEPS = 50
 
 
 def bench_tpu_train():
@@ -45,8 +45,10 @@ def bench_tpu_train():
     train_step = jax.jit(flow.training_step, donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(2)
-    # warmup/compile
-    state, logs = train_step(state, batch, rng)
+    # warmup/compile (the remote-tunnel runtime needs several iterations
+    # before steady-state timing)
+    for _ in range(5):
+        state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs)
 
     t0 = time.perf_counter()
@@ -70,7 +72,9 @@ def bench_tpu_train():
     def project(changes):
         return pm(proj_state, changes)[0]
 
-    project(changes).block_until_ready()
+    for _ in range(20):
+        out = project(changes)
+    out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(TRAIN_STEPS):
         out = project(changes)

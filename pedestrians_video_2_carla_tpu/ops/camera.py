@@ -78,15 +78,25 @@ class PinholeCamera(NamedTuple):
     image_size: Tuple[int, int]       # (width, height)
 
     def project(self, points_world: jnp.ndarray) -> jnp.ndarray:
-        """(..., 3) world points -> (..., 3) = (x_screen, y_screen, depth)."""
-        view = mm(points_world, self.R) + self.T
-        z = view[..., 2]
+        """(..., 3) world points -> (..., 3) = (x_screen, y_screen, depth).
+
+        Written in unstacked component form: batched (.., 3) x (3, 3) matmuls
+        force the TPU to pad the 3-wide dims to full (8, 128) tiles (~40x
+        memory bloat); as elementwise FMAs over the big batch dims the whole
+        projection runs on the VPU at bandwidth speed."""
+        x, y, z0 = (points_world[..., 0], points_world[..., 1],
+                    points_world[..., 2])
+        R, T = self.R, self.T
+        vx = x * R[0, 0] + y * R[1, 0] + z0 * R[2, 0] + T[0]
+        vy = x * R[0, 1] + y * R[1, 1] + z0 * R[2, 1] + T[1]
+        vz = x * R[0, 2] + y * R[1, 2] + z0 * R[2, 2] + T[2]
         w, h = self.image_size
         fx, fy = self.focal
         px, py = self.principal
-        x_screen = w - (fx * view[..., 0] / z + px)
-        y_screen = h - (fy * view[..., 1] / z + py)
-        return jnp.stack([x_screen, y_screen, z], axis=-1)
+        inv_z = 1.0 / vz
+        x_screen = w - (fx * vx * inv_z + px)
+        y_screen = h - (fy * vy * inv_z + py)
+        return jnp.stack([x_screen, y_screen, vz], axis=-1)
 
 
 def focal_px_from_fov(fov_deg: float, lens_size_m: float = DEFAULT_LENS_SIZE_M) -> float:
@@ -131,10 +141,21 @@ def project_pose(camera: PinholeCamera,
     :param world_rot: broadcastable (..., 3, 3) pedestrian world rotation.
     :return: (..., J, 3) = (x_screen, y_screen, depth).
     """
-    world_x = mm(abs_pose_loc, jnp.asarray(P3D_2_WORLD))
+    # p3d pose -> p3d world axis swap: (x, y, z) -> (y, -x, z), in component
+    # form (see PinholeCamera.project for why not batched 3x3 matmuls)
+    wx = abs_pose_loc[..., 1]
+    wy = -abs_pose_loc[..., 0]
+    wz = abs_pose_loc[..., 2]
     if world_rot is not None:
-        # (..., J, 3) @ (..., 3, 3) with the joint axis riding along
-        world_x = mm(world_x[..., None, :], world_rot[..., None, :, :])[..., 0, :]
+        # (..., 3, 3) per-clip rotation broadcast over the joint axis
+        r = world_rot[..., None, :, :]
+        wx, wy, wz = (
+            wx * r[..., 0, 0] + wy * r[..., 1, 0] + wz * r[..., 2, 0],
+            wx * r[..., 0, 1] + wy * r[..., 1, 1] + wz * r[..., 2, 1],
+            wx * r[..., 0, 2] + wy * r[..., 1, 2] + wz * r[..., 2, 2],
+        )
     if world_loc is not None:
-        world_x = world_x + world_loc[..., None, :]
-    return camera.project(world_x)
+        wx = wx + world_loc[..., None, 0]
+        wy = wy + world_loc[..., None, 1]
+        wz = wz + world_loc[..., None, 2]
+    return camera.project(jnp.stack([wx, wy, wz], axis=-1))
