@@ -142,7 +142,8 @@ class Carla2D3DDataModule(BaseDataModule):
                  noise: str = "zero", noise_param: float = 1.0,
                  missing_joint_probabilities=(), seed: int = 22742,
                  **kwargs) -> None:
-        super().__init__(data_nodes=CARLA_SKELETON, **kwargs)
+        kwargs.setdefault("data_nodes", CARLA_SKELETON)
+        super().__init__(**kwargs)
         self.seed = seed
         self._val_size = val_set_size
         self._test_size = test_set_size

@@ -356,7 +356,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
         run_name=run_name,
     )
-    trainer = Trainer(flow, dm, config)
+    video_logger = None
+    renderers = [r for r in (args.renderers or []) if r != "none"]
+    if renderers:
+        from .loggers.pedestrian_logger import PedestrianLogger
+        from .skeletons import CARLA_SKELETON
+        video_logger = PedestrianLogger(
+            save_dir=f"{config.logs_dir}/{run_name}/videos",
+            renderers=renderers,
+            input_nodes=input_nodes or CARLA_SKELETON,
+            output_nodes=output_nodes or input_nodes or CARLA_SKELETON,
+            log_every_n_steps=args.log_every_n_steps)
+    trainer = Trainer(flow, dm, config, video_logger=video_logger)
 
     dm.prepare_data()
     dm.setup(args.mode)

@@ -42,12 +42,16 @@ class TrainerConfig:
 
 
 class Trainer:
-    def __init__(self, flow: BaseFlow, datamodule, config: TrainerConfig):
+    def __init__(self, flow: BaseFlow, datamodule, config: TrainerConfig,
+                 video_logger=None):
         self.flow = flow
         self.dm = datamodule
         self.config = config
         self.mesh = make_mesh(config.mesh)
         self.state: Optional[FlowState] = None
+        #: optional PedestrianLogger for qualitative mp4s (reference wires it
+        #: as a second Lightning logger, ``flow/base.py:489-510``)
+        self.video_logger = video_logger
 
         self.log_dir = os.path.join(config.logs_dir, config.run_name)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -157,6 +161,22 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
                 loss_dict, preds, targets = self._eval_step(self.state, batch)
                 mstate = self._metric_update(mstate, preds, targets)
+                if batch_idx == 0 and self.video_logger is not None:
+                    try:
+                        self.video_logger.log_videos(
+                            inputs=np.asarray(batch[0]),
+                            targets=jax.tree_util.tree_map(np.asarray,
+                                                           targets),
+                            projections=jax.tree_util.tree_map(
+                                np.asarray,
+                                {k: v for k, v in preds.items()
+                                 if v is not None}),
+                            meta=jax.tree_util.tree_map(np.asarray, batch[2]),
+                            step=int(self.state.step), batch_idx=batch_idx,
+                            stage=stage, force=(stage != "train"))
+                    except Exception as e:  # rendering must never kill a run
+                        import warnings
+                        warnings.warn(f"video logging failed: {e}")
                 for k, v in loss_dict.items():
                     loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
                 count += 1

@@ -1,0 +1,154 @@
+"""Walker-control layer tests, mirroring the reference's
+tests/walker_control/* equivalence strategy: the CARLA-dict ``Pose`` must
+agree with the tensor path bone-by-bone."""
+import numpy as np
+import pytest
+
+from pedestrians_video_2_carla_tpu.skeletons.carla import (
+    BONE_NAMES, CARLA_SKELETON, load_reference_pose)
+from pedestrians_video_2_carla_tpu.walker_control.carla_utils import carla
+from pedestrians_video_2_carla_tpu.walker_control.controlled_pedestrian import \
+    ControlledPedestrian
+from pedestrians_video_2_carla_tpu.walker_control.pose import (
+    Pose, load_reference_pose_dict)
+from pedestrians_video_2_carla_tpu.walker_control.pose_projection import (
+    PoseProjection, RGBCameraMock)
+
+
+@pytest.fixture
+def reference_pose():
+    p = Pose()
+    p.relative, _ = load_reference_pose_dict("adult", "female")
+    return p
+
+
+def test_pose_relative_roundtrip(reference_pose):
+    rel = reference_pose.relative
+    assert len(rel) == 26
+    assert abs(rel["crl_hips__C"].location.x) < 1e-9  # re-zeroed hips
+
+
+def test_pose_absolute_matches_tensor_fk(reference_pose):
+    """CARLA-dict FK == tensor FK (the reference pins Pose vs P3dPose the
+    same way, tests/walker_control/test_p3d_pose.py:21-56)."""
+    from pedestrians_video_2_carla_tpu.ops.kinematics import forward_kinematics
+    from pedestrians_video_2_carla_tpu.ops.rotations import (
+        matrix_to_carla_rotation, p3d_location_to_carla)
+
+    absolute = reference_pose.absolute
+    rel_loc, rel_rot = load_reference_pose("adult_female")
+    abs_loc, abs_rot = forward_kinematics(rel_loc, rel_rot)
+    carla_loc = np.asarray(p3d_location_to_carla(abs_loc))
+    carla_rot = np.asarray(matrix_to_carla_rotation(abs_rot))
+
+    for i, name in enumerate(BONE_NAMES):
+        t = absolute[name]
+        np.testing.assert_allclose(
+            [t.location.x, t.location.y, t.location.z], carla_loc[i],
+            atol=1e-3, err_msg=name)
+        diff = (np.asarray([t.rotation.pitch, t.rotation.yaw,
+                            t.rotation.roll]) - carla_rot[i] + 180) % 360 - 180
+        np.testing.assert_allclose(diff, 0, atol=0.1, err_msg=name)
+
+
+def test_pose_move_matches_tensor_move(reference_pose):
+    """Pose.move == tensor move+FK (reference test_p3d_pose equivalence)."""
+    from pedestrians_video_2_carla_tpu.ops.kinematics import (
+        forward_kinematics, move)
+    from pedestrians_video_2_carla_tpu.ops.rotations import (
+        carla_rotation_to_matrix, p3d_location_to_carla)
+    import jax.numpy as jnp
+
+    change = {"crl_arm__L": carla.Rotation(yaw=-30.0)}
+    reference_pose.move(change)
+    absolute = reference_pose.absolute
+
+    rel_loc, rel_rot = load_reference_pose("adult_female")
+    changes = np.broadcast_to(np.eye(3, dtype=np.float32),
+                              (26, 3, 3)).copy()
+    changes[int(CARLA_SKELETON.crl_arm__L)] = np.asarray(
+        carla_rotation_to_matrix(jnp.asarray([0.0, -30.0, 0.0])))
+    new_rel = np.asarray(move(jnp.asarray(changes), jnp.asarray(rel_rot)))
+    abs_loc, _ = forward_kinematics(rel_loc, new_rel)
+    carla_loc = np.asarray(p3d_location_to_carla(abs_loc))
+
+    hand = BONE_NAMES.index("crl_hand__L")
+    t = absolute["crl_hand__L"]
+    np.testing.assert_allclose(
+        [t.location.x, t.location.y, t.location.z], carla_loc[hand],
+        atol=1e-3)
+
+
+def test_controlled_pedestrian_unbound():
+    p = ControlledPedestrian(None, "adult", "female")
+    assert p.age == "adult" and p.walker is None
+    before = p.current_pose.absolute["crl_hand__L"].location.y
+    p.update_pose({"crl_arm__L": carla.Rotation(yaw=-45.0)})
+    after = p.current_pose.absolute["crl_hand__L"].location.y
+    assert before != after
+    # teleports accumulate into the world transform without a walker
+    p.teleport_by(carla.Transform(location=carla.Location(x=1.0)))
+    p.teleport_by(carla.Transform(location=carla.Location(x=0.5)))
+    assert p.transform.location.x == pytest.approx(1.5)
+
+
+def test_bind_raises_with_mock_carla():
+    p = ControlledPedestrian(None, "adult", "female")
+    with pytest.raises(RuntimeError):
+        p.bind(object())
+
+
+def test_pose_projection_matches_reference_projection():
+    from pedestrians_video_2_carla_tpu.ops.reference_skeletons import \
+        reference_projections
+    p = ControlledPedestrian(None, "adult", "female")
+    proj = PoseProjection(p, camera_position=(3.1, 0, 0), look_at=(0, 0, 0))
+    pts = proj.current_pose_to_points()
+    assert pts.shape == (26, 2)
+    expected = reference_projections()[0, :, :2]
+    np.testing.assert_allclose(pts, expected, atol=0.5)
+
+
+def test_gym_env_smoke():
+    gym = pytest.importorskip("gymnasium")
+    from pedestrians_video_2_carla_tpu.gym_carla_pedestrians import \
+        CarlaPedestriansEnv
+    env = CarlaPedestriansEnv(env_id=0)
+    obs, info = env.reset(seed=0, options={"length": 2})
+    assert obs["pose_projection"].shape == (26, 2)
+    action = env.action_space.sample()
+    obs, reward, terminated, truncated, info = env.step(action)
+    assert reward == 0.0 and not terminated
+    obs, reward, terminated, truncated, info = env.step(action)
+    assert terminated
+
+
+def test_points_renderer_draws_skeleton():
+    from pedestrians_video_2_carla_tpu.ops.reference_skeletons import \
+        reference_projections
+    from pedestrians_video_2_carla_tpu.renderers.points_renderer import \
+        PointsRenderer
+    pts = reference_projections()[0, :, :2]
+    renderer = PointsRenderer(CARLA_SKELETON)
+    frame = renderer.render_frame(pts)
+    assert frame.shape == (600, 800, 3)
+    assert (frame.sum(-1) > 0).sum() > 100  # something was drawn
+
+
+def test_pedestrian_writer_mp4(tmp_path):
+    from pedestrians_video_2_carla_tpu.loggers.pedestrian_writer import \
+        PedestrianWriter
+    from pedestrians_video_2_carla_tpu.ops.reference_skeletons import \
+        reference_projections
+    ref = reference_projections()[:1, None, :, :2]  # (1, 1, 26, 2)
+    clip = np.broadcast_to(ref, (2, 4, 26, 2))
+    writer = PedestrianWriter(str(tmp_path), renderers=["input_points"],
+                              max_videos=2)
+    paths = writer.log_videos(
+        inputs=clip, targets={}, projections={},
+        meta={"age_gender_idx": np.zeros(2, np.int32)},
+        step=0, stage="val", normalized=False, force=True)
+    assert len(paths) == 2
+    assert all(p.endswith(".mp4") for p in paths)
+    import os
+    assert all(os.path.getsize(p) > 1000 for p in paths)
