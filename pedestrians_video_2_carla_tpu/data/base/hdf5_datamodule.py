@@ -238,47 +238,6 @@ class Hdf5DataModule(BaseDataModule):
     def test_set_size(self):
         return self._set_size.get("test")
 
-    # -- predictions-as-dataset chaining ----------------------------------
-    def save_predictions(self, set_name: str, outputs: List[Tuple],
-                         run_id: str = "run") -> str:
-        """Denormalize predicted 2D poses and write a new subsets tree usable
-        as a datamodule input for flow chaining (reference
-        ``base_datamodule.py:560-630``)."""
-        from ...ops import normalization as N
-
-        save_dir = os.path.join(
-            self.outputs_dir, f"{type(self).__name__}Predictions",
-            SUBSETS_BASE, self._settings_digest, run_id)
-        os.makedirs(save_dir, exist_ok=True)
-
-        all_proj, all_targets, all_meta = [], [], []
-        for preds, targets in outputs:
-            key = "projection_2d_transformed" \
-                if preds.get("projection_2d_transformed") is not None \
-                else "projection_2d"
-            pred_pose = np.asarray(preds[key])[..., :2]
-            if key == "projection_2d_transformed" \
-                    and targets.get("projection_2d_shift") is not None:
-                ss = N.ShiftScale(np.asarray(targets["projection_2d_shift"]),
-                                  np.asarray(targets["projection_2d_scale"]))
-                pred_pose = np.asarray(N.denormalize(pred_pose, ss))
-            all_proj.append(pred_pose)
-            all_targets.append({k: np.asarray(v) for k, v in targets.items()
-                                if k.startswith("projection_2d") is False})
-            all_meta.append({})
-
-        projection_2d = np.concatenate(all_proj)
-        merged_targets: Dict[str, np.ndarray] = {}
-        for k in all_targets[0].keys():
-            try:
-                merged_targets[k] = np.concatenate(
-                    [t[k] for t in all_targets])
-            except (ValueError, KeyError):
-                continue
-        self._save_subset(set_name, projection_2d, merged_targets,
-                          {}, save_dir=save_dir)
-        return save_dir
-
     @property
     def hparams(self):
         return {**super().hparams,

@@ -179,6 +179,15 @@ class Carla2D3DDataModule(BaseDataModule):
         num = max(1, self._test_size // self.batch_size)
         return self._batches_from(jax.random.PRNGKey(self.seed + 2), num)
 
+    def predict_batches(self, set_name: str) -> Iterator:
+        if set_name == "train":
+            # the train stream is infinite; predict over a reproducible
+            # finite slice sized like the limit_train_batches guard
+            num = max(1, 4 * self.val_set_size // self.batch_size)
+            return self._batches_from(
+                jax.random.PRNGKey(self.seed + 1000), num)
+        return super().predict_batches(set_name)
+
     @property
     def val_set_size(self):
         return max(1, self._val_size // self.batch_size) * self.batch_size

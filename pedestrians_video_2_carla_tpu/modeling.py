@@ -226,7 +226,13 @@ def setup_flow(argv: List[str]):
             model_choices[model_type] = models[chosen_name]
             add_model_args(parser, models[chosen_name], seen)
 
-    args = parser.parse_args(argv)
+    args, unknown = parser.parse_known_args(argv)
+    if unknown:
+        # tolerate other flows' flags so multi-stage scripts can pass one
+        # argument list through every stage (reference scripts mutate a
+        # Namespace instead)
+        import warnings
+        warnings.warn(f"ignoring unrecognized arguments: {unknown}")
     return args, flow_cls, dm_cls, model_choices
 
 
@@ -332,6 +338,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         dm_kwargs["data_nodes"] = data_nodes
     if input_nodes is not None:
         dm_kwargs["input_nodes"] = input_nodes
+    if args.subsets_dir:
+        # train/eval directly over an existing subsets tree (e.g. saved
+        # predictions) regardless of which datamodule produced it
+        from .data.base.subsets_datamodule import SubsetsDataModule
+        dm_cls = SubsetsDataModule
     import inspect
     sig_params = set()
     for klass in dm_cls.__mro__:

@@ -225,8 +225,8 @@ class Trainer:
             for batch in self.dm.predict_batches(set_name):
                 batch = shard_batch(self.mesh, batch)
                 _, preds, targets = self._eval_step(self.state, batch)
-                outputs.append(jax.tree_util.tree_map(np.asarray,
-                                                      (preds, targets)))
+                outputs.append(jax.tree_util.tree_map(
+                    np.asarray, (preds, targets, batch[2])))
         return outputs
 
     # ------------------------------------------------------------------
