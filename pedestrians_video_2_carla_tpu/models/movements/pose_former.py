@@ -30,7 +30,7 @@ class _Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = nn.Dense(self.hidden)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch F.gelu default (erf)
         x = nn.Dropout(self.drop, deterministic=not training)(x)
         x = nn.Dense(self.out)(x)
         return nn.Dropout(self.drop, deterministic=not training)(x)
@@ -123,9 +123,11 @@ class PoseFormer(MovementsModel):
                        name=f"temporal_block_{i}")(t, training)
         t = nn.LayerNorm(name="temporal_norm")(t)
 
-        # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1))
+        # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1, 1),
+        # including its scalar bias for checkpoint compatibility)
         w = self.param("weighted_mean", nn.initializers.normal(0.02), (rf,))
-        pooled = jnp.einsum("nfd,f->nd", t, w)       # (BW, frame_dim)
+        w_b = self.param("weighted_mean_bias", nn.initializers.zeros, (1,))
+        pooled = jnp.einsum("nfd,f->nd", t, w) + w_b  # (BW, frame_dim)
 
         out = nn.Dense(J * self._out_features, name="head")(
             nn.LayerNorm(name="head_norm")(pooled))
