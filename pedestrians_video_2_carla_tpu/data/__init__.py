@@ -15,9 +15,12 @@ def discover() -> Dict[str, type]:
     register_datamodule("Carla2D3D", Carla2D3DDataModule)
     try:
         from .carla.carla_recorded import (CarlaRecordedDataModule,
-                                           CarlaBenchmarkDataModule)
+                                           CarlaBenchmarkDataModule,
+                                           CarlaRecordedVideoDataModule)
         register_datamodule("CarlaRecorded", CarlaRecordedDataModule)
         register_datamodule("CarlaBenchmark", CarlaBenchmarkDataModule)
+        register_datamodule("CarlaRecordedVideo",
+                            CarlaRecordedVideoDataModule)
     except ImportError:
         pass
     try:
@@ -29,6 +32,11 @@ def discover() -> Dict[str, type]:
         register_datamodule("PIEOpenPose", PIEOpenPoseDataModule)
         register_datamodule("JAADBenchmark", JAADBenchmarkDataModule)
         register_datamodule("PIEBenchmark", PIEBenchmarkDataModule)
+    except ImportError:
+        pass
+    try:
+        from .unipose.jaad_unipose import JAADUniPoseDataModule
+        register_datamodule("JAADUniPose", JAADUniPoseDataModule)
     except ImportError:
         pass
     try:

@@ -1,0 +1,135 @@
+"""Video input pipeline: replace 2D-pose inputs with decoded video frames
+(reference ``data/base/mixins/dataset/video_mixin.py:17-238``: pims/PyAV decode,
+bbox-square crop, VideoToResNet equalize+resize+normalize, optional per-joint
+gaussian heatmap targets + background channel). cv2-based here; decoding stays
+host-side, normalization is vectorized numpy."""
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def read_clip_frames(video_path: str, start_frame: int, end_frame: int
+                     ) -> Optional[np.ndarray]:
+    """Decode frames [start, end) -> (L, H, W, 3) uint8 RGB, None on failure."""
+    import cv2
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        return None
+    cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
+    frames = []
+    for _ in range(end_frame - start_frame):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[..., ::-1])  # BGR -> RGB
+    cap.release()
+    if len(frames) != end_frame - start_frame:
+        return None
+    return np.stack(frames)
+
+
+def square_crop(frames: np.ndarray, bbox: np.ndarray,
+                margin: float = 0.2) -> np.ndarray:
+    """Crop a square region around the clip bbox (reference
+    ``video_mixin.py:144-184``)."""
+    h, w = frames.shape[1:3]
+    x1, y1 = bbox.reshape(-1, 2).min(axis=0)
+    x2, y2 = bbox.reshape(-1, 2).max(axis=0)
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    half = max(x2 - x1, y2 - y1) * (1 + margin) / 2
+    x1c = int(max(0, cx - half))
+    y1c = int(max(0, cy - half))
+    x2c = int(min(w, cx + half))
+    y2c = int(min(h, cy + half))
+    if x2c <= x1c or y2c <= y1c:
+        return frames
+    return frames[:, y1c:y2c, x1c:x2c]
+
+
+def to_model_frames(frames: np.ndarray,
+                    target_size: Tuple[int, int] = (256, 256)) -> np.ndarray:
+    """uint8 (L, H, W, 3) -> normalized float32 (L, th, tw, 3)."""
+    import cv2
+    th, tw = target_size
+    resized = np.stack([cv2.resize(f, (tw, th)) for f in frames])
+    out = resized.astype(np.float32) / 255.0
+    return (out - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class VideoDataModuleMixin:
+    """Wraps a datamodule's batch iterators to emit decoded video frames as
+    inputs (and keep the 2D keypoints as targets)."""
+
+    def __init__(self, source_videos_dir: Optional[str] = None,
+                 video_size: Tuple[int, int] = (256, 256),
+                 crop_to_bbox: bool = True,
+                 needs_heatmaps: bool = False,
+                 heatmaps_sigma: float = 3.0,
+                 heatmaps_stride: int = 8,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.source_videos_dir = source_videos_dir \
+            or getattr(self, "source_videos_dir", None)
+        self.video_size = video_size
+        self.crop_to_bbox = crop_to_bbox
+        self.needs_heatmaps = needs_heatmaps
+        self.heatmaps_sigma = heatmaps_sigma
+        self.heatmaps_stride = heatmaps_stride
+
+    def _video_path(self, video_id: str) -> str:
+        return os.path.join(self.source_videos_dir, f"{video_id}.mp4")
+
+    def _with_video_inputs(self, batches: Iterator) -> Iterator:
+        for inputs, targets, meta in batches:
+            clips = []
+            ok = True
+            B = len(np.asarray(inputs))
+            for i in range(B):
+                video_id = str(np.asarray(meta.get(
+                    "video_id", ["unknown"] * B))[i]) \
+                    if "video_id" in meta else None
+                start = int(np.asarray(meta.get("start_frame",
+                                                np.zeros(B)))[i])
+                end = int(np.asarray(meta.get(
+                    "end_frame", np.full(B, self.clip_length)))[i])
+                frames = read_clip_frames(self._video_path(video_id),
+                                          start, end) \
+                    if video_id is not None else None
+                if frames is None:
+                    ok = False
+                    break
+                if self.crop_to_bbox and "bboxes" in targets:
+                    frames = square_crop(frames,
+                                         np.asarray(targets["bboxes"])[i])
+                clips.append(to_model_frames(frames, self.video_size))
+            if not ok:
+                continue
+            video_inputs = np.stack(clips)
+            new_targets = dict(targets)
+            if self.needs_heatmaps:
+                from ...ops.heatmaps import gaussian_heatmaps
+                import jax.numpy as jnp
+                w = self.video_size[1] // self.heatmaps_stride
+                h = self.video_size[0] // self.heatmaps_stride
+                # keypoints scaled into the heatmap canvas
+                kp = np.asarray(targets["projection_2d"])
+                scale = np.asarray([w, h], np.float32) / np.asarray(
+                    [800.0, 600.0], np.float32)
+                hm = np.asarray(gaussian_heatmaps(
+                    jnp.asarray(kp * scale), (w, h),
+                    self.heatmaps_sigma))
+                new_targets["heatmaps"] = hm
+            yield video_inputs, new_targets, meta
+
+    def train_batches(self, seed: int = 0):
+        return self._with_video_inputs(super().train_batches(seed))
+
+    def val_batches(self):
+        return self._with_video_inputs(super().val_batches())
+
+    def test_batches(self):
+        return self._with_video_inputs(super().test_batches())

@@ -17,6 +17,7 @@ from ...ops.rotations import euler_angles_to_matrix_np
 from ...skeletons.carla import CARLA_SKELETON
 from ..base.classification_mixin import (BenchmarkDataModuleMixin,
                                          ClassificationDataModuleMixin)
+from ..base.video_mixin import VideoDataModuleMixin
 from ..base.hdf5_datamodule import Hdf5DataModule
 from ..base.pandas_mixin import PandasDataModuleMixin
 
@@ -204,3 +205,9 @@ class CarlaBenchmarkDataModule(BenchmarkDataModuleMixin,
             df = df.groupby(level=list(range(len(self.primary_index))),
                             group_keys=False).apply(per_video)
         return df
+
+
+class CarlaRecordedVideoDataModule(VideoDataModuleMixin,
+                                   CarlaRecordedDataModule):
+    """CarlaRecorded with decoded video-frame inputs (reference
+    ``carla_recorded_video_datamodule.py:8-19``)."""

@@ -1,0 +1,64 @@
+"""JAADUniPose: extract keypoints with the UniPose-LSTM model instead of
+OpenPose JSONs (reference ``data/unipose/jaad_unipose_datamodule.py:21-33``,
+documented there as experimental with poor keypoint quality — kept for
+capability parity). Runs the flax UniPoseLSTM over decoded clip crops and
+argmax-decodes heatmaps into BODY_25-slot keypoints."""
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..base.video_mixin import read_clip_frames, square_crop, to_model_frames
+from ..openpose.datamodules import JAADOpenPoseDataModule
+
+
+class JAADUniPoseDataModule(JAADOpenPoseDataModule):
+    def __init__(self, unipose_params=None, video_size=(256, 256), **kwargs):
+        super().__init__(**kwargs)
+        self._unipose_params = unipose_params
+        self._video_size = video_size
+        self._model = None
+
+    def _ensure_model(self):
+        if self._model is None:
+            import jax
+
+            from ...models.pose_estimation.unipose_lstm import UniPoseLSTM
+            self._model = UniPoseLSTM(backbone="resnet50",
+                                      output_nodes=self.data_nodes)
+            if self._unipose_params is None:
+                import jax.numpy as jnp
+                dummy = jnp.zeros((1, 1) + tuple(self._video_size) + (3,))
+                self._unipose_params = self._model.init(
+                    {"params": jax.random.PRNGKey(0)}, dummy, training=False)
+        return self._model
+
+    def _extract_additional_data(self, clips: List):
+        from ...ops.heatmaps import keypoints_from_heatmaps
+        import jax.numpy as jnp
+
+        model = self._ensure_model()
+        videos_dir = os.path.join(self.datasets_dir, "JAAD", "videos")
+        updated = []
+        for clip in clips:
+            info = clip.reset_index(drop=True).sort_values("frame")
+            video_id = info.iloc[0]["video"]
+            start = int(info.iloc[0]["frame"])
+            end = int(info.iloc[-1]["frame"]) + 1
+            frames = read_clip_frames(
+                os.path.join(videos_dir, f"{video_id}.mp4"), start, end)
+            if frames is None:
+                continue
+            bbox = info.iloc[0][["x1", "y1", "x2", "y2"]].to_numpy() \
+                .astype(np.float32)
+            crop = square_crop(frames, bbox)
+            model_in = to_model_frames(crop, self._video_size)[None]
+            heatmaps = model.apply(self._unipose_params,
+                                   jnp.asarray(model_in), training=False)
+            kp = np.asarray(keypoints_from_heatmaps(heatmaps))[0]  # (L, J, 2)
+            for i in range(len(info)):
+                pts = np.concatenate(
+                    [kp[i], np.ones((len(kp[i]), 1), np.float32)], axis=-1)
+                info.at[info.index[i], "keypoints"] = pts.tolist()
+            updated.append(info)
+        return updated

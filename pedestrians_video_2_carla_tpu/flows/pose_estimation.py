@@ -18,7 +18,7 @@ class PoseEstimationFlow(AutoencoderFlow):
 
     @classmethod
     def get_default_models(cls):
-        return {"movements": POSE_ESTIMATION_MODELS["Linear"]}
+        return {"movements": POSE_ESTIMATION_MODELS["UniPoseLSTM"]}
 
     def _inner_step(self, params, mutables, batch, training, rngs):
         inputs, targets, meta = batch

@@ -1,10 +1,16 @@
 """Pose-estimation models (video/heatmaps -> 2D pose). Reference
-``modules/pose_estimation/``; the UniPoseLSTM / P0 / AvPedestrianPoseTransformer
-video-backbone models are tracked in later build stages (SURVEY.md §7 step 6) —
-the registry mirrors the reference shape with the Linear baseline first."""
+``modules/pose_estimation/``: UniPoseLSTM (heatmaps, default), P0,
+AvPedestrianPoseTransformer, Linear."""
 from .linear import Linear, PoseEstimationModel
+from .regular import AvPedestrianPoseTransformer, P0
+from .unipose_lstm import UniPoseLSTM
 
-POSE_ESTIMATION_MODELS = {"Linear": Linear}
+POSE_ESTIMATION_MODELS = {
+    "Linear": Linear,
+    "UniPoseLSTM": UniPoseLSTM,
+    "P0": P0,
+    "AvPedestrianPoseTransformer": AvPedestrianPoseTransformer,
+}
 
 
 def register_pose_estimation_model(cls):
