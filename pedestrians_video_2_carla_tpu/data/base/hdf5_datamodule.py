@@ -174,6 +174,32 @@ class Hdf5DataModule(BaseDataModule):
                         meta.get("gender", ["female"] * len(projection_2d)))
                 ], dtype=np.int32)
                 self._subsets[name] = (projection_2d, targets, meta)
+                self._maybe_build_native_cache(name, path, projection_2d,
+                                               targets)
+
+    def _maybe_build_native_cache(self, name, hdf5_path, projection_2d,
+                                  targets) -> None:
+        """Render the subset into the flat binary cache consumed by the C++
+        multi-threaded batch gatherer (optional fast path; see
+        ``runtime/native``). Controlled by PV2C_NATIVE_LOADER (default on)."""
+        if os.environ.get("PV2C_NATIVE_LOADER", "1") != "1":
+            return
+        try:
+            from ...runtime.native_loader import (BinarySubsetCache,
+                                                  native_loader_available)
+            if not native_loader_available():
+                return
+            bin_path = hdf5_path.replace(".hdf5", ".bin")
+            arrays = {"projection_2d": projection_2d,
+                      **{f"targets/{k}": v for k, v in targets.items()
+                         if isinstance(v, np.ndarray)
+                         and v.dtype.kind in "biuf"}}
+            if not os.path.exists(bin_path + ".json")                     or os.path.getmtime(bin_path)                     < os.path.getmtime(hdf5_path):
+                BinarySubsetCache.write(bin_path, arrays)
+            self._native_caches = getattr(self, "_native_caches", {})
+            self._native_caches[name] = BinarySubsetCache(bin_path)
+        except Exception:
+            pass  # native path is best-effort; numpy slicing still works
 
     def _iter_subset(self, name: str, shuffle: bool, training: bool,
                      seed: int = 0) -> Iterator:
@@ -192,9 +218,15 @@ class Hdf5DataModule(BaseDataModule):
             # pad the final partial batch by wrapping around (static shapes)
             order = np.resize(order, self.batch_size)
             num_batches = 1
+        native = getattr(self, "_native_caches", {}).get(name)
         for b in range(num_batches):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            raw = projection_2d[idx]
+            if native is not None:
+                gathered = native.gather(idx)
+                raw = gathered["projection_2d"]
+            else:
+                gathered = None
+                raw = projection_2d[idx]
             clip_size = None
             if "clip_width" in meta:
                 clip_size = np.stack([meta["clip_width"][idx],
@@ -205,7 +237,12 @@ class Hdf5DataModule(BaseDataModule):
                 training,
                 bboxes=targets["bboxes"][idx] if "bboxes" in targets else None,
                 clip_size=clip_size)
-            batch_targets = {k: v[idx] for k, v in targets.items()}
+            if gathered is not None:
+                batch_targets = {
+                    k: gathered.get(f"targets/{k}", targets[k][idx])
+                    for k in targets}
+            else:
+                batch_targets = {k: v[idx] for k, v in targets.items()}
             batch_targets.update(proc_targets)
             # only numeric meta crosses the host->device boundary
             batch_meta = {k: v[idx] for k, v in meta.items()

@@ -116,11 +116,15 @@ class Trainer:
             for epoch in range(self.config.max_epochs):
                 epoch_start = time.perf_counter()
                 train_iter = self.dm.train_batches(self.config.seed + epoch)
+                if limit is not None:
+                    import itertools
+                    train_iter = itertools.islice(train_iter, limit)
+                # background host->device prefetch overlapping device compute
+                from ..runtime.prefetcher import DevicePrefetcher
+                train_iter = DevicePrefetcher(
+                    train_iter, put_fn=lambda b: shard_batch(self.mesh, b))
                 losses = []
                 for batch_idx, batch in enumerate(train_iter):
-                    if limit is not None and batch_idx >= limit:
-                        break
-                    batch = shard_batch(self.mesh, batch)
                     self.state, logs = self._train_step(
                         self.state, batch, rng)
                     global_step += 1

@@ -1,0 +1,76 @@
+"""Native batch loader + prefetcher tests."""
+import numpy as np
+import pytest
+
+from pedestrians_video_2_carla_tpu.runtime.native_loader import (
+    BinarySubsetCache, native_loader_available)
+from pedestrians_video_2_carla_tpu.runtime.prefetcher import DevicePrefetcher
+
+
+@pytest.mark.skipif(not native_loader_available(),
+                    reason="g++ native build unavailable")
+def test_binary_cache_gather_matches_numpy(tmp_path, rng):
+    arrays = {
+        "projection_2d": rng.normal(size=(40, 8, 26, 2)).astype(np.float32),
+        "targets/absolute_pose_loc":
+            rng.normal(size=(40, 8, 26, 3)).astype(np.float32),
+        "targets/crossing": rng.integers(0, 2, size=(40,)).astype(np.int32),
+    }
+    cache = BinarySubsetCache.write(str(tmp_path / "train.bin"), arrays)
+    idx = rng.permutation(40)[:16]
+    out = cache.gather(idx)
+    for k, v in arrays.items():
+        np.testing.assert_array_equal(out[k], v[idx], err_msg=k)
+    cache.close()
+
+
+@pytest.mark.skipif(not native_loader_available(),
+                    reason="g++ native build unavailable")
+def test_binary_cache_rejects_out_of_bounds(tmp_path, rng):
+    arrays = {"projection_2d": np.zeros((4, 2, 2), np.float32)}
+    cache = BinarySubsetCache.write(str(tmp_path / "t.bin"), arrays)
+    with pytest.raises(IndexError):
+        cache.gather([0, 7])
+    cache.close()
+
+
+def test_prefetcher_yields_everything_in_order():
+    out = list(DevicePrefetcher(iter(range(10)), put_fn=lambda x: x * 2))
+    assert out == [x * 2 for x in range(10)]
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = DevicePrefetcher(gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        for _ in it:
+            pass
+
+
+def test_hdf5_datamodule_uses_native_cache(tmp_path, rng):
+    import os
+
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.skeletons import CARLA_SKELETON
+
+    n = 12
+    save_subset(str(tmp_path / "train.hdf5"),
+                rng.normal(size=(n, 4, 26, 2)).astype(np.float32) + 300,
+                {"absolute_pose_loc":
+                 rng.normal(size=(n, 4, 26, 3)).astype(np.float32)},
+                {"age": ["adult"] * n, "gender": ["female"] * n})
+    dm = SubsetsDataModule(subsets_dir=str(tmp_path), batch_size=4,
+                           clip_length=4, data_nodes=CARLA_SKELETON)
+    dm.prepare_data()
+    dm.setup("fit")
+    if native_loader_available():
+        assert "train" in getattr(dm, "_native_caches", {})
+        assert os.path.exists(tmp_path / "train.bin.json")
+    batch = next(iter(dm.train_batches()))
+    assert batch[0].shape == (4, 4, 26, 2)
