@@ -81,7 +81,31 @@ def bench_tpu_train():
     out.block_until_ready()
     dt = time.perf_counter() - t0
     fk_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
-    return clips_per_sec, fk_us_per_clip
+
+    # hand-written Pallas kernel variant of the same fused path
+    from pedestrians_video_2_carla_tpu.ops.camera import make_camera
+    from pedestrians_video_2_carla_tpu.ops.pallas.fused_projection import \
+        fused_projection_pallas
+    from pedestrians_video_2_carla_tpu.skeletons.carla import \
+        reference_poses_tensor
+
+    locs, rots = reference_poses_tensor()
+    rl = jax.numpy.broadcast_to(jax.numpy.asarray(locs[0]), (BATCH, 26, 3))
+    rr = jax.numpy.broadcast_to(jax.numpy.asarray(rots[0]),
+                                (BATCH, 26, 3, 3))
+    cam = make_camera()
+    pallas_fn = jax.jit(
+        lambda c: fused_projection_pallas(c, rl, rr, cam))
+    for _ in range(20):
+        out = pallas_fn(changes)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        out = pallas_fn(changes)
+    out.block_until_ready()
+    pallas_us_per_clip = (time.perf_counter() - t0) \
+        / (TRAIN_STEPS * BATCH) * 1e6
+    return clips_per_sec, fk_us_per_clip, pallas_us_per_clip
 
 
 def bench_cpu_reference_fk():
@@ -151,7 +175,7 @@ def bench_cpu_reference_fk():
 
 
 def main():
-    clips_per_sec, fk_us = bench_tpu_train()
+    clips_per_sec, fk_us, pallas_us = bench_tpu_train()
     try:
         cpu_fk_us = bench_cpu_reference_fk()
         vs_baseline = cpu_fk_us / fk_us
@@ -166,6 +190,7 @@ def main():
             "config": "LinearAE pose_lifting, batch 256, clip 16, "
                       "CARLA in/out, loss=loc_2d_3d",
             "fused_fk_projection_us_per_clip": round(fk_us, 3),
+            "pallas_fused_fk_projection_us_per_clip": round(pallas_us, 3),
             "cpu_reference_fk_projection_us_per_clip":
                 round(cpu_fk_us, 1) if cpu_fk_us else None,
         },
