@@ -3,7 +3,6 @@
 autoencoder in predict mode over train/val/test and save the denormalized
 predictions as a new subsets tree; (2) fine-tune a classifier on the AE
 outputs with input noise forced off."""
-import os
 import sys
 from typing import List
 

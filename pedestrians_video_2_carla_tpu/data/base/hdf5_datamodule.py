@@ -12,9 +12,8 @@ transforms, whole batches are sliced from in-memory numpy and pushed through
 """
 import copy
 import hashlib
-import math
 import os
-from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import numpy as np

@@ -3,7 +3,6 @@
 ``targets/*``, ``meta/*`` with small string metas label-encoded as uint16 +
 a ``labels`` attribute. Keeping the format bit-compatible means subsets
 prepared by either framework are interchangeable."""
-import os
 from typing import Any, Dict, Tuple
 
 import h5py

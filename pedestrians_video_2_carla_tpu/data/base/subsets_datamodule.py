@@ -3,7 +3,6 @@ predictions-as-dataset chaining (reference reuses the original datamodule
 class with ``--subsets_dir``, ``base_datamodule.py:122-128``; here a dedicated
 loader keeps any HDF5 subsets tree trainable regardless of which datamodule
 produced it)."""
-from typing import Optional
 
 from .hdf5_datamodule import Hdf5DataModule
 

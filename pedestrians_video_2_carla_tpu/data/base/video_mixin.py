@@ -4,7 +4,7 @@ bbox-square crop, VideoToResNet equalize+resize+normalize, optional per-joint
 gaussian heatmap targets + background channel). cv2-based here; decoding stays
 host-side, normalization is vectorized numpy."""
 import os
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -9,9 +9,9 @@ generated *on device* (on TPU the synthetic data never touches the host).
 Fixed val/test sets are derived from fixed seeds instead of pre-generated HDF5
 (equivalent reproducibility without the cache files).
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

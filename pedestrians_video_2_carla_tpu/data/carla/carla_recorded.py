@@ -8,7 +8,7 @@ radians -> "XYZ" matrices, *without* the CARLA->P3D negation — upstream parity
 """
 import ast
 import os
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ target template (missing targets become NaN arrays, mapped keys are renamed).
 Concrete combos (JAADCarlaRec[, AMASS][, Benchmark], CarlaRecAMASS) mirror
 ``data/mixed/jaad_carlarec*_datamodule.py``.
 """
-from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple, Type
+from typing import Dict, Iterable, Iterator, List, Optional, Type
 
 import numpy as np
 

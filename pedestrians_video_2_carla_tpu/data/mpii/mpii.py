@@ -3,7 +3,7 @@
 (clip_length=1), single/multiple person variants, head-bbox + visibility
 targets."""
 import os
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd

@@ -5,7 +5,7 @@ conventions rotation -> 2D projection ground truth.
 """
 import glob
 import os
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -4,7 +4,7 @@ documented there as experimental with poor keypoint quality — kept for
 capability parity). Runs the flax UniPoseLSTM over decoded clip crops and
 argmax-decodes heatmaps into BODY_25-slot keypoints."""
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -1,6 +1,5 @@
 """2D-pose autoencoder flow: the model output *is* the (transformed) 2D pose
 (reference ``modules/flow/autoencoder.py:19-133``)."""
-from typing import Dict
 
 from ..metrics.pose import PCK, MissingJointsRatio, MultiinputMSE
 from ..models.movements import MOVEMENTS_MODELS

@@ -7,7 +7,7 @@ exposes *pure functions* (``training_step`` / ``eval_step``) over an explicit
 sharded on the data axis — the moral equivalent of the reference's DDP, with
 gradient all-reduce inserted by XLA instead of NCCL hooks.
 """
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax
 import jax
@@ -20,7 +20,7 @@ from ..metrics.base import MetricCollection
 from ..models.base import OptimizerSettings
 from ..models.movements.zero import ZeroMovements
 from ..models.trajectory.zero import ZeroTrajectory
-from .output_types import MovementsModelOutputType, TrajectoryModelOutputType
+from .output_types import MovementsModelOutputType
 
 
 @flax.struct.dataclass
@@ -84,6 +84,31 @@ class BaseFlow:
 
     def get_initial_metrics(self) -> Dict[str, Any]:
         return {}
+
+    def initial_preds(self, inputs, targets) -> Dict[str, Any]:
+        """Baseline predictions for fit-start initial metrics (reference
+        ``flow/base.py:258-298``: inputs-as-prediction)."""
+        key = "projection_2d_deformed" \
+            if targets.get("projection_2d_deformed") is not None \
+            else "projection_2d"
+        return {"projection_2d": targets.get(key),
+                "projection_2d_transformed": inputs[..., :2]}
+
+    def on_epoch_start(self, epoch: int) -> bool:
+        """Per-epoch hook; return True if the jitted steps must be rebuilt
+        (e.g. teacher-forcing ratio decay changed the traced model)."""
+        import dataclasses
+
+        model = self.movements_model
+        drop = getattr(model, "teacher_force_drop", 0.0)
+        ratio = getattr(model, "teacher_force_ratio", 0.0)
+        if drop and ratio and epoch > 0 \
+                and getattr(model, "teacher_mode", "no_force") != "no_force":
+            new_ratio = max(0.0, ratio - drop)
+            self.movements_model = dataclasses.replace(
+                model, teacher_force_ratio=new_ratio)
+            return True
+        return False
 
     @property
     def needs_graph(self):

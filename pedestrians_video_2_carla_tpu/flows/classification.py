@@ -3,7 +3,6 @@
 confusion-matrix metric stack, last-frame labels."""
 from typing import Any, Dict, List, Optional, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
@@ -85,7 +84,35 @@ class ClassificationFlow:
             "F1Score": F1Score(average=self.average["F1Score"], **kw),
             "ConfusionMatrix": ConfusionMatrixMetric(**kw),
             "AUROC": AUROC(**hist_kw),
+            # curve metrics (reference logs these as W&B plots,
+            # ``classification.py:336-436``; here they land in the JSONL/TB
+            # summaries as binned arrays)
+            "ROC": ROCCurve(**hist_kw),
+            "PRCurve": PRCurve(**hist_kw),
         }
+
+    def initial_preds(self, inputs, targets):
+        """Prevalent-class predictor baseline (reference
+        ``classification.py:259-319``)."""
+        import jax.numpy as jnp
+        labels = targets.get(self.targets_key)
+        if labels is None:
+            return {}
+        flat = labels.reshape(-1).astype(jnp.int32)
+        counts = jnp.bincount(flat, length=self.num_classes)
+        prevalent = jnp.argmax(counts)
+        if self.binary:
+            # scalar logit per sample: +5 if the prevalent class is 1
+            logits = jnp.where(prevalent == 1, 5.0, -5.0) \
+                * jnp.ones((flat.shape[0],), jnp.float32)
+        else:
+            logits = jax.nn.one_hot(
+                jnp.full((flat.shape[0],), prevalent),
+                self.num_classes) * 10.0 - 5.0
+        return {self.outputs_key: logits}
+
+    def on_epoch_start(self, epoch: int) -> bool:
+        return False
 
     # -- state -------------------------------------------------------------
     def init_state(self, key: jax.Array, sample_batch) -> FlowState:

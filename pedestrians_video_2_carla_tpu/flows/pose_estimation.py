@@ -1,9 +1,7 @@
 """Pose-estimation flow (reference ``modules/flow/pose_estimation.py:17-134``):
 model predicts 2D keypoints (directly or via heatmaps -> argmax); metrics are
 the autoencoder-flow 2D set."""
-from typing import Dict
 
-import jax.numpy as jnp
 
 from ..models.pose_estimation import POSE_ESTIMATION_MODELS
 from ..ops.heatmaps import keypoints_from_heatmaps

@@ -1,8 +1,6 @@
 """Pose-lifting flow: 2D clip -> movements model -> FK + projection -> 2D/3D
 losses (reference ``modules/flow/pose_lifting.py:25-195``)."""
-from typing import Dict
 
-import jax.numpy as jnp
 
 from ..metrics.fb import (FB_MPJPE, FB_MPJVE, FB_N_MPJPE, FB_PA_MPJPE,
                           FB_WeightedMPJPE)
@@ -11,9 +9,8 @@ from ..models.movements import MOVEMENTS_MODELS
 from ..models.trajectory import TRAJECTORY_MODELS, ZeroTrajectory
 from ..ops import normalization as N
 from ..ops.kinematics import world_from_changes
-from ..ops.projection import ProjectionModule, ProjectionState, projection_state_for
+from ..ops.projection import ProjectionModule, projection_state_for
 from .base import BaseFlow
-from .output_types import MovementsModelOutputType
 
 
 class PoseLiftingFlow(BaseFlow):

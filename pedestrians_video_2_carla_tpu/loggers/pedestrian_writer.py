@@ -3,14 +3,13 @@ render through the selected renderers, tile into a grid and write mp4s
 (reference ``loggers/pedestrian/pedestrian_writer.py:27-372``; mp4 via cv2
 instead of torchvision.io)."""
 import os
-from typing import Dict, Iterable, List, Optional
+from typing import Iterable, List, Optional
 
 import numpy as np
 
 from ..ops.reference_skeletons import denormalize_from_projection
 from ..renderers.points_renderer import PointsRenderer
 from ..renderers.renderer import ZerosRenderer
-from ..skeletons.base import Skeleton
 from ..skeletons.carla import CARLA_SKELETON
 
 DEFAULT_RENDERERS = ("input_points", "projection_points")

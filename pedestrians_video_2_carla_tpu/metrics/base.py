@@ -5,7 +5,7 @@ whose accumulator state is an additive pytree of arrays: ``update`` is
 jit-compilable, and multi-chip sync is a single ``psum``/host-side tree-sum over
 states instead of torchmetrics' ``dist_sync_on_step`` DDP hooks.
 """
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

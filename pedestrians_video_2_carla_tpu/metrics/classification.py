@@ -8,7 +8,6 @@ additive count tensors, so multi-chip sync is a plain sum — and the AUROC/
 curve metrics use fixed-bin score histograms (streaming-friendly and
 jit-compatible) instead of storing every prediction.
 """
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,7 @@
 """Pose metrics: MPJPE, MRPE, PCK, MissingJointsRatio, MSE multi-input wrapper
 (reference ``metrics/{mpjpe,mrpe,pck,missing_joints_ratio,multiinput_wrapper}.py``).
 """
-from typing import Dict, Optional, Tuple, Type
+from typing import Optional, Type
 
 import jax.numpy as jnp
 

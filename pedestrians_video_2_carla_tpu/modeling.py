@@ -20,7 +20,7 @@ from .flows import available_flows
 from .flows.output_types import MovementsModelOutputType
 from .losses import LossModes
 from .models.base import OptimizerSettings
-from .skeletons.base import SKELETONS, get_skeleton_type_by_name
+from .skeletons.base import get_skeleton_type_by_name
 from .training.trainer import Trainer, TrainerConfig
 from .utils.argparse import boolean, flat_args_as_list_arg, list_arg_as_flat_args
 

@@ -6,7 +6,6 @@ torchvision weights into its UniPose backbone,
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 

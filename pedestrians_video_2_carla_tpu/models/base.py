@@ -7,15 +7,14 @@ hparams, AdamW + {ReduceLROnPlateau, StepLR, CosineAnnealingWarmRestarts}) and
 re-designed around optax transformations and flax modules: models are pure
 ``nn.Module``s; training-time configuration lives in ``OptimizerSettings``.
 """
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple, Type
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Type
 
 import jax.numpy as jnp
 import optax
 
 from ..flows.output_types import MovementsModelOutputType
 from ..ops.rotations import rotation_6d_to_matrix
-from ..skeletons.base import Skeleton, get_skeleton_name_by_type
 
 
 @dataclass(frozen=True)

@@ -6,7 +6,7 @@ are dense normalized-adjacency matmuls — exactly what the MXU wants.
 """
 from .common import ClassificationModel
 from .gnn import (DCRNN, GCNBestPaper, GCNBestPaperTransformer, GConvGRU,
-                  GConvLSTM, TGCN)
+                  GConvLSTM, SpatialTemporalGNN, TGCN)
 from .recurrent import GRU, LSTM
 
 CLASSIFICATION_MODELS = {
@@ -18,4 +18,5 @@ CLASSIFICATION_MODELS = {
     "GRU": GRU,
     "GCNBestPaper": GCNBestPaper,
     "GCNBestPaperTransformer": GCNBestPaperTransformer,
+    "SpatialTemporalGNN": SpatialTemporalGNN,
 }

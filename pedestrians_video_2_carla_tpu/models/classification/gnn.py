@@ -220,3 +220,35 @@ class GCNBestPaperTransformer(ClassificationModel):
         h = nn.relu(nn.Dropout(0.5, deterministic=not training)(h))
         h = h.reshape(B, L, J, -1, 2).mean(axis=(1, 3)).mean(axis=-1)
         return nn.Dense(1)(h)
+
+
+class SpatialTemporalGNN(_GraphGRUCellMixin, _GraphGatedRecurrent):
+    """GConvGRU(K=3) over (x, y, confidence) node features + per-frame MLP
+    (reference ``gnn/spatial_temporal_gnn.py:10-114``; its second GConvGRU is
+    defined but never applied in ``forward``, so a single recurrent layer is
+    the faithful behavior). Logits are read from the last frame, matching the
+    flow's last-frame-of-graph-batch slicing (``classification.py:502-522``)."""
+    hidden_size: int = 3          # embeddings_size == input_features upstream
+    k: int = 3
+    p_dropout: float = 0.3
+    input_features: int = 3       # (x, y, confidence)
+    needs_confidence: bool = True
+
+    @property
+    def output_type(self):
+        return ClassificationModelOutputType.multiclass
+
+    @nn.compact
+    def __call__(self, x, targets=None, training: bool = False):
+        op = jnp.asarray(self._operator(), dtype=x.dtype)
+        h = self._layer("rnn1", x[..., :self.input_features], op)
+        h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
+        h = nn.relu(h)
+        B, L, J, F = h.shape
+        h = h[:, -1].reshape(B, J * F)
+        size1 = (J * F) // 2
+        h = nn.relu(nn.Dropout(self.p_dropout, deterministic=not training)(
+            nn.Dense(size1)(h)))
+        h = nn.relu(nn.Dropout(self.p_dropout, deterministic=not training)(
+            nn.Dense(size1 // 2)(h)))
+        return nn.Dense(self.num_classes)(h)

@@ -4,7 +4,6 @@ the public 3d_pose_baseline: Linear(2J->1024) + BN + ReLU + Dropout, N residual
 stages of two such blocks, Linear(1024->3J)). ``Baseline3DPoseRot`` is the
 reference's 6D-rotations variant (``baseline_3d_pose_rot.py``)."""
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import rotation_6d_to_matrix

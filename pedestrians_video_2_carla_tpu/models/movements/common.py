@@ -1,6 +1,6 @@
 """Shared movements-model base: a flax module carrying skeleton/output-type
 config (reference ``modules/movements/movements.py:8-66`` ``MovementsModel``)."""
-from typing import Optional, Type
+from typing import Type
 
 import flax.linen as nn
 

@@ -8,7 +8,6 @@
 from typing import Callable
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import rotation_6d_to_matrix

@@ -10,12 +10,9 @@ folded into the batch axis — one big transformer call; window-center
 predictions are scattered back to their frame positions.
 
 ``PoseFormerRot`` is the 6D-rotations variant (``pose_former_rot.py``)."""
-from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import rotation_6d_to_matrix

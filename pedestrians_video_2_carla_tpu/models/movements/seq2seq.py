@@ -8,7 +8,7 @@ TPU-first: the decoder's frame-by-frame Python loop (reference
 the PRNG up front and folded into the scan inputs (reference
 ``seq2seq.py:323-363`` ``_teacher_forcing``)."""
 from enum import Enum
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -2,7 +2,6 @@
 d_model = J * features (reference ``modules/movements/transformers.py:7-54``,
 torch ``nn.TransformerEncoder`` defaults: 4 heads, ffn 2048, post-LN, ReLU)."""
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...flows.output_types import MovementsModelOutputType
 from .common import MovementsModel

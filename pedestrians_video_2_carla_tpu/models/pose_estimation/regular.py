@@ -10,7 +10,6 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...flows.output_types import PoseEstimationModelOutputType
 from ..backbones.resnet import resnet50
 from ..movements.transformers import _EncoderLayer
 from .linear import PoseEstimationModel

@@ -10,7 +10,7 @@ loops frames in Python, threading hidden/cell through the vendored model).
 The constant center-gaussian map the reference concatenates per frame is baked
 in the same way.
 """
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ clip size is known), rotations spin around the bbox center; missing joints
 restores the original pose (rotation first, then flip — reference
 ``augment_pose.py:74-104``).
 """
-from typing import Dict, NamedTuple, Optional, Tuple, Type
+from typing import NamedTuple, Optional, Tuple, Type
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ looking at the pedestrian, up = (0, 0, -1) in P3D world coordinates.
 """
 from typing import NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,7 +6,7 @@ Used both as domain-level fault injection (the missing-joints sensitivity study
 drives per-joint probabilities) and to simulate OpenPose detection noise when
 training on clean synthetic/CARLA data.
 """
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,13 +17,12 @@ backward; plain XLA everywhere else (CPU tests run the kernel via
 ``interpret=True`` for equivalence).
 """
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...skeletons.carla import PARENTS, TOPO_LEVELS
+from ...skeletons.carla import PARENTS
 from .. import camera as C
 from .. import kinematics as K
 

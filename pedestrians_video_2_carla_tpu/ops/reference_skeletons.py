@@ -9,7 +9,6 @@ selection is a gather on stacked (4, 26, ...) tensors inside jit instead of
 Python dict lookups per pedestrian.
 """
 from functools import lru_cache
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -4,7 +4,7 @@ teleports, drain the RGB camera queue (reference
 degrades to black frames with the mock client (as the reference's tests do).
 """
 from queue import Empty, Queue
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

@@ -1,6 +1,6 @@
 """Renderer base (karma ``Renderer`` equivalent): turns per-clip data into
 (L, H, W, 3) uint8 frame stacks."""
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ jit-compiled preprocessing graphs (no Python in the hot path).
 """
 from enum import IntEnum
 from functools import lru_cache
-from typing import Dict, List, Optional, Sequence, Tuple, Type
+from typing import Dict, List, Optional, Tuple, Type
 
 import numpy as np
 

@@ -4,7 +4,7 @@ Each skeleton is declared as a table of (joint name, color) rows plus edge /
 hips / neck / flip specs; the factory builds the ``Skeleton`` IntEnum subclass
 with all classmethods wired up. Keeps the per-skeleton modules declarative.
 """
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from .base import Skeleton
 

@@ -7,7 +7,6 @@ minimal environments.
 """
 import json
 import os
-import shutil
 from typing import Any, Dict, Optional
 
 import jax

@@ -1,11 +1,10 @@
 """Scalar/hparam logging: JSONL + CSV on disk, optional TensorBoard if the
 writer is importable (the reference logs to W&B/TensorBoard, ``modeling.py:
 194-238``; in a zero-egress TPU pod local files are the primary channel)."""
-import csv
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 class MetricsLogger:

@@ -8,12 +8,11 @@ monitoring (reference ``modeling.py:240-245``), initial metrics at fit start
 scaling comes from jitting the flow's pure steps with batches sharded over the
 mesh's ``data`` axis.
 """
-import json
 import math
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -85,9 +84,10 @@ class Trainer:
         first = next(iter(self.dm.val_batches()), None)
         if first is None:
             first = next(iter(self.dm.train_batches(self.config.seed)))
-        key = jax.random.PRNGKey(self.config.seed)
-        state = self.flow.init_state(key, first)
-        self.state = replicate(self.mesh, state)
+        if self.state is None:  # keep a state restored via --ckpt_path
+            key = jax.random.PRNGKey(self.config.seed)
+            state = self.flow.init_state(key, first)
+            self.state = replicate(self.mesh, state)
         return first
 
     def _resolve_train_batches(self) -> Optional[int]:
@@ -111,9 +111,12 @@ class Trainer:
         limit = self._resolve_train_batches()
         rng = jax.random.PRNGKey(self.config.seed + 7)
         global_step = 0
+        summary: Dict[str, Any] = {}
 
         with self.mesh:
             for epoch in range(self.config.max_epochs):
+                if self.flow.on_epoch_start(epoch):
+                    self._build_steps()  # traced constants changed
                 epoch_start = time.perf_counter()
                 train_iter = self.dm.train_batches(self.config.seed + epoch)
                 if limit is not None:
@@ -146,8 +149,15 @@ class Trainer:
                     summary.update(val_metrics)
                     self.checkpoints.maybe_save(
                         self.state, val_metrics, step=global_step)
+                    self.checkpoints.save_last(self.state, step=global_step)
 
                 self.logger.log_scalars(global_step, summary)
+
+        # sweep-objective aliases (reference sweeps target e.g. hp/PCKhn@01)
+        hp = {f"hp/{k.split('/', 1)[1]}": v for k, v in summary.items()
+              if isinstance(v, (int, float)) and k.startswith("val/")}
+        if hp:
+            self.logger.log_hparams(hp)
         return self.state
 
     # ------------------------------------------------------------------
@@ -245,11 +255,9 @@ class Trainer:
         any_batches = False
         for batch in self.dm.val_batches():
             inputs, targets, meta = batch
-            key = "projection_2d_deformed" \
-                if targets.get("projection_2d_deformed") is not None \
-                else "projection_2d"
-            preds = {"projection_2d": targets[key],
-                     "projection_2d_transformed": inputs[..., :2]}
+            preds = self.flow.initial_preds(inputs, targets)
+            if not preds:
+                break
             mstate = update(mstate, preds, targets)
             any_batches = True
         if not any_batches:

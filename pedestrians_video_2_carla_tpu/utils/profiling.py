@@ -6,7 +6,7 @@ import contextlib
 import functools
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 _TIMINGS: Dict[str, list] = defaultdict(lambda: [0.0, 0])
 

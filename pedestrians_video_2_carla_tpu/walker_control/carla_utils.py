@@ -4,9 +4,8 @@ destroy}.py`` and the karma transform helpers).
 The real ``carla`` package is optional (the simulator is a host-side external
 process); everything numerical works against the mock types.
 """
-import warnings
 from queue import Queue
-from typing import Any, Tuple
+from typing import Tuple
 
 import numpy as np
 

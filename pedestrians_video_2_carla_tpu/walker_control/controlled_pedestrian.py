@@ -4,7 +4,7 @@ predicted bone rotations (reference
 ``walker_control/controlled_pedestrian.py:23-322``).
 """
 import random
-from typing import Dict, Optional
+from typing import Dict
 
 from ..skeletons.carla import CARLA_SKELETON
 from .carla_utils import (carla, deepcopy_location, deepcopy_rotation,

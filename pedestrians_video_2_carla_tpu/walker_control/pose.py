@@ -11,8 +11,7 @@ import numpy as np
 
 from ..skeletons.carla import (BONE_NAMES, PARENTS, load_reference_pose_carla,
                                reference_pose_key)
-from .carla_utils import (carla, deepcopy_location, deepcopy_rotation,
-                          deepcopy_transform, mul_carla_rotations,
+from .carla_utils import (carla, deepcopy_transform, mul_carla_rotations,
                           transform_location)
 
 PoseDict = "OrderedDict[str, carla.Transform]"

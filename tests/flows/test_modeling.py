@@ -85,3 +85,65 @@ def test_test_and_predict_modes():
         "--data_module_name=Carla2D3D", "--predict_sets", "val",
     ])
     assert len(results["predictions"]["val"]) >= 1
+
+
+def test_seq2seq_teacher_force_decay_hook():
+    """Per-epoch teacher-forcing decay (reference ``seq2seq.py`` epoch hook):
+    on_epoch_start shrinks the ratio and requests a step rebuild."""
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+
+    model = MOVEMENTS_MODELS["Seq2Seq"](
+        teacher_mode="clip_force", teacher_force_ratio=0.5,
+        teacher_force_drop=0.2)
+    flow = PoseLiftingFlow(movements_model=model)
+    assert flow.on_epoch_start(0) is False          # epoch 0: keep initial
+    assert flow.on_epoch_start(1) is True
+    assert flow.movements_model.teacher_force_ratio == pytest.approx(0.3)
+    assert flow.on_epoch_start(2) is True
+    assert flow.movements_model.teacher_force_ratio == pytest.approx(0.1)
+    flow.on_epoch_start(3)
+    assert flow.on_epoch_start(4) is False          # ratio hit 0 -> stable
+    # no_force models never trigger rebuilds
+    flow2 = PoseLiftingFlow(movements_model=MOVEMENTS_MODELS["Seq2Seq"]())
+    assert flow2.on_epoch_start(5) is False
+
+
+def test_classification_initial_preds_prevalent_class():
+    """Prevalent-class baseline (reference ``classification.py:259-319``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.flows.classification import \
+        ClassificationFlow
+
+    flow = ClassificationFlow()
+    labels = jnp.asarray([1, 1, 1, 0])
+    preds = flow.initial_preds(None, {"crossing": labels})
+    logits = np.asarray(preds["crossing_logits"])
+    if flow.binary:
+        assert logits.shape == (4,) and (logits > 0).all()
+    else:
+        assert logits.argmax(-1).tolist() == [1, 1, 1, 1]
+    assert flow.initial_preds(None, {}) == {}
+
+
+def test_train_resume_from_last_checkpoint(tmp_path):
+    """save_last + --ckpt_path resume (reference Lightning resume semantics:
+    full state for train, weights-only for tune, ``modeling.py:281-285``)."""
+    import os
+
+    args = [a for a in BASE if not a.startswith("--root_dir")] + [
+        f"--root_dir={tmp_path}", "--flow=pose_lifting",
+        "--movements_model_name=Linear", "--loss_modes", "loc_2d"]
+    first = main(list(args))
+    last = os.path.join(first["trainer"].checkpoints.dirpath, "last")
+    assert os.path.exists(last + ".npz")
+    step_before = int(first["trainer"].state.step)
+
+    resumed = main(list(args) + [f"--ckpt_path=file://{last}"])
+    # training continued from the restored step counter
+    assert int(resumed["trainer"].state.step) > step_before
+
+    tuned = main(list(args) + ["--mode=tune", f"--ckpt_path=file://{last}"])
+    assert "val_metrics" in tuned
