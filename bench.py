@@ -108,6 +108,74 @@ def bench_tpu_train():
     return clips_per_sec, fk_us_per_clip, pallas_us_per_clip
 
 
+def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
+                steps=20, warmup=5, **model_kwargs):
+    """Train-step throughput (clips/s) for one BASELINE config."""
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+
+    cfg = Carla2D3DConfig(batch_size=batch_size, clip_length=clip_length)
+    batch = generate_batch(jax.random.PRNGKey(0), cfg)
+    batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
+
+    flow = flow_cls(
+        movements_model=MOVEMENTS_MODELS[model_name](**model_kwargs),
+        loss_modes=loss_modes,
+        movements_optimizer=OptimizerSettings(lr=1e-3))
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+    train_step = jax.jit(flow.training_step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(2)
+    for _ in range(warmup):
+        state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs)
+    return batch_size * steps / (time.perf_counter() - t0)
+
+
+def bench_secondary_configs():
+    """BASELINE configs 2/4/5 (Seq2SeqEmbeddings AE, VideoPose3D-style long
+    receptive field, PoseFormer at batch 1024 with the full FK+projection
+    loss stack). Each is optional — failures never break the headline."""
+    from pedestrians_video_2_carla_tpu.flows.autoencoder import AutoencoderFlow
+    from pedestrians_video_2_carla_tpu.flows.output_types import \
+        MovementsModelOutputType
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+
+    out = {}
+    try:
+        out["seq2seq_ae_clips_per_sec"] = round(_time_train(
+            "Seq2SeqEmbeddings", AutoencoderFlow, [LossModes.loc_2d],
+            batch_size=256, clip_length=16,
+            movements_output_type=MovementsModelOutputType.pose_2d), 2)
+    except Exception as e:
+        out["seq2seq_ae_error"] = repr(e)[:120]
+    try:
+        out["videopose3d_L81_clips_per_sec"] = round(_time_train(
+            "VideoPose3D", PoseLiftingFlow, [LossModes.loc_2d],
+            batch_size=64, clip_length=81), 2)
+    except Exception as e:
+        out["videopose3d_error"] = repr(e)[:120]
+    # config 5 asks for batch 1024; the remote compile helper can run out of
+    # resources on the 8192-window transformer grad graph, so fall back
+    for B in (1024, 512, 256):
+        try:
+            out[f"poseformer_B{B}_clips_per_sec"] = round(_time_train(
+                "PoseFormer", PoseLiftingFlow, [LossModes.loc_2d_3d],
+                batch_size=B, clip_length=16), 2)
+            break
+        except Exception as e:
+            out["poseformer_error"] = repr(e)[:120]
+    return out
+
+
 def bench_cpu_reference_fk():
     """CPU reference for the FK+projection path: torch, per-frame Python loop
     over the clip with a recursive 26-bone tree traversal and per-frame camera
@@ -181,6 +249,8 @@ def main():
         vs_baseline = cpu_fk_us / fk_us
     except Exception:
         cpu_fk_us, vs_baseline = None, None
+    secondary = {} if os.environ.get("BENCH_HEADLINE_ONLY") \
+        else bench_secondary_configs()
     print(json.dumps({
         "metric": "pose_lifting_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -193,6 +263,7 @@ def main():
             "pallas_fused_fk_projection_us_per_clip": round(pallas_us, 3),
             "cpu_reference_fk_projection_us_per_clip":
                 round(cpu_fk_us, 1) if cpu_fk_us else None,
+            **secondary,
         },
     }))
 

@@ -32,6 +32,12 @@ SMPL_MODELS = {g: os.path.join(g, "model.npz")
 class BodyModelData:
     rest_joints: np.ndarray   # (J, 3) regressed rest-pose joints
     parents: Tuple[int, ...]  # kinematic tree
+    #: optional mesh data for linear-blend-skinned vertex posing (the
+    #: reference renders meshes through body_visualizer/pyrender GL; here a
+    #: software rasterizer consumes these — ``renderers/smpl_renderer.py``)
+    v_template: Optional[np.ndarray] = None   # (V, 3)
+    skin_weights: Optional[np.ndarray] = None  # (V, J)
+    faces: Optional[np.ndarray] = None        # (F, 3) int vertex indices
 
 
 def load_body_model_npz(path: str, num_joints: Optional[int] = None
@@ -45,14 +51,29 @@ def load_body_model_npz(path: str, num_joints: Optional[int] = None
         v_template = np.asarray(data["v_template"], dtype=np.float64)
         j_regressor = np.asarray(data["J_regressor"], dtype=np.float64)
         kintree = np.asarray(data["kintree_table"], dtype=np.int64)
+        weights = np.asarray(data["weights"], dtype=np.float32) \
+            if "weights" in data else None
+        faces = np.asarray(data["f"], dtype=np.int64) \
+            if "f" in data else None
     joints = j_regressor @ v_template
     parents = kintree[0].copy()
     parents[0] = -1
     if num_joints is not None:
         joints = joints[:num_joints]
         parents = parents[:num_joints]
+        if weights is not None:
+            # fold trimmed joints' influence into their remaining ancestors
+            w = weights.copy()
+            for j in range(weights.shape[1] - 1, num_joints - 1, -1):
+                anc = int(kintree[0, j])
+                while anc >= num_joints:
+                    anc = int(kintree[0, anc])
+                w[:, anc] += w[:, j]
+            weights = w[:, :num_joints]
     return BodyModelData(rest_joints=joints.astype(np.float32),
-                         parents=tuple(int(p) for p in parents))
+                         parents=tuple(int(p) for p in parents),
+                         v_template=v_template.astype(np.float32),
+                         skin_weights=weights, faces=faces)
 
 
 @lru_cache(maxsize=8)
@@ -91,3 +112,45 @@ def joint_locations(model: BodyModelData,
     rel_loc = jnp.broadcast_to(rel_loc, rot.shape[:-2] + (3,))
     abs_loc, _ = forward_kinematics(rel_loc, rot, parents=model.parents)
     return abs_loc + rest[0]
+
+
+def vertex_locations(model: BodyModelData,
+                     pose_body: jnp.ndarray,
+                     root_orient: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Linear-blend-skinned mesh vertices (SMPL LBS without pose/shape
+    blendshapes — adequate for qualitative rendering; the reference's mesh
+    path goes through ``human_body_prior.BodyModel`` + pyrender GL,
+    ``renderers/smpl_renderer.py:21-70``).
+
+    :param pose_body: (..., (J-1)*3) axis-angle body pose (root excluded).
+    :return: (..., V, 3) posed vertices in SMPL world coordinates.
+    """
+    if model.v_template is None or model.skin_weights is None:
+        raise ValueError("body model was loaded without mesh data "
+                         "(v_template/weights)")
+    J = len(model.parents)
+    pose_body = jnp.asarray(pose_body).reshape(
+        pose_body.shape[:-1] + (J - 1, 3))
+    if root_orient is None:
+        root_orient = jnp.zeros(pose_body.shape[:-2] + (3,), pose_body.dtype)
+    full_pose = jnp.concatenate([root_orient[..., None, :], pose_body],
+                                axis=-2)
+    rot = jnp.swapaxes(axis_angle_to_matrix(full_pose), -1, -2)  # row-vector
+
+    parents_arr = np.asarray(model.parents)
+    rest = jnp.asarray(model.rest_joints)                        # (J, 3)
+    rel_loc = jnp.where((parents_arr >= 0)[:, None],
+                        rest - rest[np.maximum(parents_arr, 0)], 0.0)
+    rel_loc = jnp.broadcast_to(rel_loc, rot.shape[:-2] + (3,))
+    abs_loc, abs_rot = forward_kinematics(rel_loc, rot, parents=model.parents)
+    posed_joints = abs_loc + rest[0]                             # (..., J, 3)
+
+    v = jnp.asarray(model.v_template)                            # (V, 3)
+    w = jnp.asarray(model.skin_weights)                          # (V, J)
+    # per-joint rigid transform of every vertex, blended by skin weights:
+    #   v'_j = (v - rest_j) @ R_j + posed_j   (row-vector convention)
+    local = v[:, None, :] - rest[None, :, :]                     # (V, J, 3)
+    rotated = jnp.einsum("vja,...jab->...vjb", local, abs_rot)
+    blended = jnp.einsum("vj,...vjb->...vb",
+                         w, rotated + posed_joints[..., None, :, :])
+    return blended

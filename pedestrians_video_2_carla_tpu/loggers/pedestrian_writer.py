@@ -83,7 +83,9 @@ class PedestrianWriter:
         if name == "smpl":
             from ..renderers.smpl_renderer import SMPLRenderer
             return list(SMPLRenderer().render(
-                projection_2d=targets.get("projection_2d")))
+                amass_body_pose=targets.get("amass_body_pose"),
+                projection_2d=targets.get("projection_2d"),
+                meta=meta))
         return list(self._zeros.render(frames=inputs))
 
     def _merge(self, videos: List[np.ndarray]) -> np.ndarray:
