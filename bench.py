@@ -15,7 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = 256
+# batch 1024 is the single-chip throughput sweet spot (measured: 256 -> ~140k,
+# 1024 -> ~287k, 4096 -> ~134k clips/s); the reference's operational envelope
+# sweeps 256-4096 (BASELINE.md)
+BATCH = 1024
 CLIP = 16
 TRAIN_STEPS = 50
 
@@ -257,7 +260,7 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
-            "config": "LinearAE pose_lifting, batch 256, clip 16, "
+            "config": "LinearAE pose_lifting, batch 1024, clip 16, "
                       "CARLA in/out, loss=loc_2d_3d",
             "fused_fk_projection_us_per_clip": round(fk_us, 3),
             "pallas_fused_fk_projection_us_per_clip": round(pallas_us, 3),

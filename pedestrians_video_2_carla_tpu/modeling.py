@@ -123,6 +123,11 @@ def add_flow_args(parser: argparse.ArgumentParser):
 
 def add_optimizer_args(parser: argparse.ArgumentParser, prefix: str):
     group = parser.add_argument_group(f"{prefix} optimizer")
+    # bare --lr applies to every model type unless the prefixed flag is set
+    # (the reference sweep configs use the unprefixed form,
+    # ``configs/sweep/*.yaml``)
+    if not any(a.dest == "lr" for a in parser._actions):
+        group.add_argument("--lr", type=float, default=None)
     group.add_argument(f"--{prefix}_lr", type=float, default=None)
     group.add_argument(f"--{prefix}_enable_lr_scheduler", action="store_true")
     group.add_argument(f"--{prefix}_scheduler_type",
@@ -299,6 +304,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         num_classes=args.num_classes,
     )
     for model_type in model_choices:
+        if args_dict.get(f"{model_type}_lr") is None \
+                and args_dict.get("lr") is not None:
+            args_dict[f"{model_type}_lr"] = args_dict["lr"]
         flow_kwargs[f"{model_type}_optimizer"] = \
             OptimizerSettings.from_kwargs(model_type, args_dict)
     flow = flow_cls(**models, **flow_kwargs)

@@ -147,3 +147,47 @@ def test_train_resume_from_last_checkpoint(tmp_path):
 
     tuned = main(list(args) + ["--mode=tune", f"--ckpt_path=file://{last}"])
     assert "val_metrics" in tuned
+
+
+def test_sweep_runner(tmp_path):
+    """Local random-search sweep over the W&B sweep YAML format (reference
+    ``configs/sweep/*.yaml``)."""
+    import json
+
+    from pedestrians_video_2_carla_tpu.sweep import main as sweep_main
+
+    config = f"""
+method: random
+metric:
+  goal: maximize
+  name: hp/PCKhn@01
+parameters:
+  mode: {{value: train}}
+  flow: {{value: autoencoder}}
+  data_module_name: {{value: Carla2D3D}}
+  movements_model_name: {{value: LinearAE2D}}
+  max_epochs: {{value: 1}}
+  limit_train_batches: {{value: 2}}
+  batch_size: {{value: 4}}
+  clip_length: {{value: 4}}
+  val_set_size: {{value: 4}}
+  test_set_size: {{value: 4}}
+  renderers: {{value: [none]}}
+  root_dir: {{value: {tmp_path}/runs}}
+  lr:
+    min: 0.001
+    max: 0.01
+    distribution: log_uniform
+"""
+    cfg_path = tmp_path / "sweep.yaml"
+    cfg_path.write_text(config)
+    best, history = sweep_main([
+        "--config", str(cfg_path), "--count", "2",
+        "--logs_dir", str(tmp_path / "sweep_logs")])
+    assert len(history) == 2
+    assert best is not None and best["objective"] is not None
+    # the two trials sampled different learning rates
+    assert history[0]["params"]["lr"] != history[1]["params"]["lr"]
+    lines = [json.loads(line) for line in
+             open(tmp_path / "sweep_logs" / "sweep_results.jsonl")]
+    assert len(lines) == 2
