@@ -11,3 +11,5 @@ except ImportError:  # gymnasium optional
     pass
 
 from .envs import CarlaPedestriansEnv  # noqa: E402,F401
+from .wrappers import (CarlaRenderWrapper,  # noqa: E402,F401
+                       NumpyToDictActionWrapper, PoseOverlayRenderWrapper)

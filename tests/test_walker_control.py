@@ -243,3 +243,32 @@ def test_smpl_renderer_skeleton_fallback():
     frames = list(r.render(amass_body_pose=np.zeros((1, 3, 63), np.float32),
                            projection_2d=proj, meta={}))
     assert len(frames) == 1 and frames[0].shape[0] == 3
+
+
+def test_gym_wrappers_numpy_action_and_overlay_render():
+    """Wrapper stack (reference ``gym_carla_pedestrians/wrappers/``): flat
+    (28, 3) actions + rgb_array rendering with skeleton overlay."""
+    import numpy as np
+    import pytest
+    pytest.importorskip("gymnasium")
+
+    from pedestrians_video_2_carla_tpu.gym_carla_pedestrians import (
+        CarlaPedestriansEnv, CarlaRenderWrapper, NumpyToDictActionWrapper,
+        PoseOverlayRenderWrapper)
+
+    env = NumpyToDictActionWrapper(
+        PoseOverlayRenderWrapper(CarlaRenderWrapper(CarlaPedestriansEnv())))
+    obs, info = env.reset(options={"length": 3})
+    assert "pose_projection" in obs
+
+    action = np.zeros((28, 3), np.float32)
+    action[0] = [0.05, 0.0, 0.0]       # teleport forward
+    action[1, 1] = 5.0                 # yaw
+    action[4, :] = [10.0, 0.0, 0.0]    # bend a bone
+    obs, reward, terminated, truncated, info = env.step(action)
+    assert reward == 0.0 and not terminated
+
+    frame = env.render()
+    assert frame.shape == (600, 800, 3)
+    assert (frame > 0).sum() > 50      # skeleton overlay drawn
+    env.close()
