@@ -44,6 +44,10 @@ def add_program_args(parser: argparse.ArgumentParser):
     parser.add_argument("--run_name", default=None)
     parser.add_argument("--ckpt_path", default=None)
     parser.add_argument("--prefer_tensorboard", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler device trace of the fit "
+                             "loop under {log_dir}/trace and print host-side "
+                             "timing accumulators at exit")
     parser.add_argument("--renderers", nargs="*", default=["none"])
     return parser
 
@@ -397,7 +401,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             from .training.checkpoint import resolve_ckpt_path
             trainer.restore(resolve_ckpt_path(args.ckpt_path),
                             weights_only=(args.mode == "tune"))
-        trainer.fit()
+        if args.profile:
+            import os as _os
+
+            from .utils.profiling import device_trace, print_timing
+            with device_trace(_os.path.join(trainer.log_dir, "trace")):
+                trainer.fit()
+            print_timing()
+        else:
+            trainer.fit()
         results["val_metrics"] = trainer.evaluate(
             "val", config.limit_val_batches)
     elif args.mode == "test":
