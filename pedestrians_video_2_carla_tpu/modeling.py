@@ -399,8 +399,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if args.mode in ("train", "tune"):
         if args.ckpt_path:
             from .training.checkpoint import resolve_ckpt_path
-            trainer.restore(resolve_ckpt_path(args.ckpt_path),
-                            weights_only=(args.mode == "tune"))
+            resolved = resolve_ckpt_path(args.ckpt_path)
+            if resolved.endswith((".ckpt", ".pth", ".pt")):
+                # torch/Lightning checkpoint -> weight-compatible import
+                trainer.restore_torch(resolved, args.movements_model_name)
+            else:
+                trainer.restore(resolved,
+                                weights_only=(args.mode == "tune"))
         if args.profile:
             import os as _os
 

@@ -216,6 +216,32 @@ class Trainer:
         self.logger.log_scalars(-1, results)
         return results
 
+    def restore_torch(self, path: str, model_name: str):
+        """Import a torch/Lightning checkpoint's movements-model weights
+        (weight-compatibility requirement for LinearAE / Seq2SeqEmbeddings /
+        VideoPose3D / PoseFormer; reference restores via
+        ``load_from_checkpoint``, ``modeling.py:250-265``)."""
+        from ..models.torch_import import IMPORTERS, load_torch_checkpoint
+        if model_name not in IMPORTERS:
+            raise ValueError(
+                f"no torch weight importer for {model_name!r}; available: "
+                f"{sorted(IMPORTERS)}")
+        sd = load_torch_checkpoint(path, prefix="movements_model.")
+        if not sd:
+            sd = load_torch_checkpoint(path)
+        out = IMPORTERS[model_name](sd)
+        params, batch_stats = out if isinstance(out, tuple) else (out, None)
+        if self.state is None:
+            self._init_state()
+            self._build_steps()
+        new_params = dict(self.state.params)
+        new_params["movements"] = params
+        new_mutables = dict(self.state.mutables)
+        if batch_stats is not None:
+            new_mutables["movements"] = {"batch_stats": batch_stats}
+        self.state = replicate(self.mesh, self.state.replace(
+            params=new_params, mutables=new_mutables))
+
     def restore(self, path: str, weights_only: bool = False):
         """Load a checkpoint; ``weights_only`` keeps a fresh optimizer state
         (reference 'tune' mode reloads weights only, ``modeling.py:281-285``)."""
