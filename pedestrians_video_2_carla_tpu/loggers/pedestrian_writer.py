@@ -22,7 +22,7 @@ class PedestrianWriter:
                  fps: float = 30.0, max_videos: int = 4,
                  video_saving_frequency_reduction: int = 10,
                  log_every_n_steps: int = 50, merging_method: str = "square",
-                 **kwargs):
+                 source_videos_dir=None, **kwargs):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.renderers = [r for r in renderers if r and r != "none"]
@@ -33,6 +33,7 @@ class PedestrianWriter:
                              * video_saving_frequency_reduction)
         self.input_nodes = input_nodes
         self.output_nodes = output_nodes
+        self.source_videos_dir = source_videos_dir
         self._input_renderer = PointsRenderer(input_nodes)
         self._output_renderer = PointsRenderer(output_nodes)
         self._zeros = ZerosRenderer()
@@ -86,6 +87,26 @@ class PedestrianWriter:
                 amass_body_pose=targets.get("amass_body_pose"),
                 projection_2d=targets.get("projection_2d"),
                 meta=meta))
+        if name == "source_videos":
+            from ..renderers.source_videos_renderer import \
+                SourceVideosRenderer
+            out_pts = self._denormalize(
+                projections.get("projection_2d_transformed",
+                                projections.get("projection_2d")),
+                agi, normalized="projection_2d_transformed" in projections)
+            rendered = list(SourceVideosRenderer(
+                source_videos_dir=self.source_videos_dir,
+                input_nodes=self.input_nodes,
+                output_nodes=self.output_nodes).render(
+                meta=meta, targets=targets,
+                input_points=targets.get("projection_2d"),
+                output_points=out_pts))
+            if rendered:
+                # native video resolution -> writer canvas so _merge can tile
+                import cv2
+                w, h = self._input_renderer.image_size
+                return [np.stack([cv2.resize(f, (w, h)) for f in clip])
+                        for clip in rendered]
         return list(self._zeros.render(frames=inputs))
 
     def _merge(self, videos: List[np.ndarray]) -> np.ndarray:

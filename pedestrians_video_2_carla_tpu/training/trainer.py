@@ -172,6 +172,7 @@ class Trainer:
             for batch_idx, batch in enumerate(batches):
                 if limit is not None and batch_idx >= limit:
                     break
+                host_meta = batch[2]  # pre-shard: keeps string meta
                 batch = shard_batch(self.mesh, batch)
                 loss_dict, preds, targets = self._eval_step(self.state, batch)
                 mstate = self._metric_update(mstate, preds, targets)
@@ -185,7 +186,8 @@ class Trainer:
                                 np.asarray,
                                 {k: v for k, v in preds.items()
                                  if v is not None}),
-                            meta=jax.tree_util.tree_map(np.asarray, batch[2]),
+                            meta=jax.tree_util.tree_map(np.asarray,
+                                                        host_meta),
                             step=int(self.state.step), batch_idx=batch_idx,
                             stage=stage, force=(stage != "train"))
                     except Exception as e:  # rendering must never kill a run

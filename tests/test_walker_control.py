@@ -272,3 +272,45 @@ def test_gym_wrappers_numpy_action_and_overlay_render():
     assert frame.shape == (600, 800, 3)
     assert (frame > 0).sum() > 50      # skeleton overlay drawn
     env.close()
+
+
+def test_source_videos_renderer_overlays(tmp_path):
+    """Source-video clips with bbox + skeleton overlays (reference
+    ``pedestrian_writer.py:309-372``)."""
+    import cv2
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.renderers.source_videos_renderer import \
+        SourceVideosRenderer
+    from pedestrians_video_2_carla_tpu.skeletons.carla import CARLA_SKELETON
+
+    # synthesize a 6-frame source video
+    path = tmp_path / "video_0001.mp4"
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         10, (160, 120))
+    for _ in range(6):
+        vw.write(np.full((120, 160, 3), 30, np.uint8))
+    vw.release()
+
+    L, J = 3, 26
+    pts = np.zeros((1, L, J, 2), np.float32)
+    pts[..., 0] = np.linspace(40, 100, J)
+    pts[..., 1] = np.linspace(20, 100, J)
+    bboxes = np.zeros((1, L, 2, 2), np.float32)
+    bboxes[:, :, 0] = [35, 15]
+    bboxes[:, :, 1] = [105, 105]
+
+    r = SourceVideosRenderer(source_videos_dir=str(tmp_path),
+                             input_nodes=CARLA_SKELETON)
+    clips = list(r.render(
+        meta={"video_id": ["video_0001"], "start_frame": [2],
+              "end_frame": [2 + L]},
+        targets={"bboxes": bboxes}, input_points=pts, output_points=None))
+    assert len(clips) == 1 and clips[0].shape == (L, 120, 160, 3)
+    # overlays changed pixels vs the flat-gray source
+    assert (clips[0] != 30).any(axis=-1).sum() > 100
+
+    # missing video -> zero frames, not a crash
+    clips = list(r.render(meta={"video_id": ["nope"], "start_frame": [0],
+                                "end_frame": [L]}, targets={}))
+    assert clips[0].sum() == 0
