@@ -63,6 +63,7 @@ class PoseFormer(MovementsModel):
     mlp_ratio: float = 2.0
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    remat: bool = False
     movements_output_type: MovementsModelOutputType = \
         MovementsModelOutputType.absolute_loc
 
@@ -91,6 +92,12 @@ class PoseFormer(MovementsModel):
         W = L - rf + 1
         emb = self.single_joint_embeddings_size
         frame_dim = J * emb
+        # optional rematerialization of transformer blocks under grad:
+        # trades ~18% step time for activation memory (measured on v5e at
+        # batch 512); off by default — the batch-1024 remote-compile failure
+        # is a compiler-process limit, not activation memory
+        Block = nn.remat(_Block, static_argnums=(2,)) if self.remat \
+            else _Block
 
         windows = self._windows(x[..., :2])          # (B, W, rf, J, 2)
         h = windows.reshape(B * W, rf, J, 2)
@@ -103,8 +110,8 @@ class PoseFormer(MovementsModel):
         s = nn.Dropout(self.drop_rate, deterministic=not training)(s)
         s = s.reshape(B * W * rf, J, emb)
         for i in range(self.depth):
-            s = _Block(emb, self.num_heads, self.mlp_ratio, self.drop_rate,
-                       self.attn_drop_rate, name=f"spatial_block_{i}")(
+            s = Block(emb, self.num_heads, self.mlp_ratio, self.drop_rate,
+                      self.attn_drop_rate, name=f"spatial_block_{i}")(
                 s, training)
         s = nn.LayerNorm(name="spatial_norm")(s)
 
@@ -115,9 +122,9 @@ class PoseFormer(MovementsModel):
                            (1, rf, frame_dim))
         t = nn.Dropout(self.drop_rate, deterministic=not training)(t)
         for i in range(self.depth):
-            t = _Block(frame_dim, self.num_heads, self.mlp_ratio,
-                       self.drop_rate, self.attn_drop_rate,
-                       name=f"temporal_block_{i}")(t, training)
+            t = Block(frame_dim, self.num_heads, self.mlp_ratio,
+                      self.drop_rate, self.attn_drop_rate,
+                      name=f"temporal_block_{i}")(t, training)
         t = nn.LayerNorm(name="temporal_norm")(t)
 
         # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1, 1),
