@@ -14,8 +14,20 @@ def main(args: List[str]) -> Dict[str, Dict[str, float]]:
     num_joints = len(CARLA_SKELETON)
     metrics: Dict[str, Dict[str, float]] = {}
 
+    # --joints <name> ... restricts the sweep (default: all 26, as upstream)
+    args = list(args)
+    selected = None
+    if "--joints" in args:
+        at = args.index("--joints")
+        selected, rest = [], args[at + 1:]
+        while rest and not rest[0].startswith("--"):
+            selected.append(rest.pop(0))
+        args = args[:at] + rest
+
     for idx in range(num_joints + 1):
         tag = BONE_NAMES[idx - 1] if idx > 0 else "baseline"
+        if selected is not None and idx > 0 and tag not in selected:
+            continue
         probs = []
         for j in range(num_joints):
             probs.extend([f"--missing_joint_probabilities_{j}",

@@ -254,3 +254,49 @@ def test_torch_checkpoint_import_via_cli(tmp_path):
                       ["Dense_0"]["kernel"])
     expected = tm.state_dict()["_LinearAE__encoder.0.weight"].numpy().T
     np.testing.assert_allclose(enc0, expected, atol=2e-3)
+
+
+def test_missing_joints_sensitivity_subset(tmp_path):
+    """Sensitivity study over a restricted joint set (reference
+    ``missing_joints_sensitivity.py:28-70`` runs all 26)."""
+    from pedestrians_video_2_carla_tpu.missing_joints_sensitivity import \
+        main as sensitivity_main
+
+    args = [a for a in BASE if not a.startswith("--root_dir")
+            and a not in ("--renderers", "none")] + [
+        f"--root_dir={tmp_path}", "--data_module_name=Carla2D3D",
+        "--classification_model_name=LSTM",
+        "--joints", "crl_hand__L"]
+    metrics = sensitivity_main(args)
+    assert set(metrics) == {"baseline", "crl_hand__L"}
+    assert "val/Accuracy" in metrics["crl_hand__L"]
+
+
+def test_compare_runner(tmp_path):
+    """compare.py cartesian-product batch runner (reference
+    ``compare.py:18-138``): two variants as subprocesses, stdout captured."""
+    import glob
+    import os
+
+    import yaml
+
+    from pedestrians_video_2_carla_tpu.compare import main as compare_main
+
+    config = {
+        "common_params": {
+            "mode": "train", "flow": "pose_lifting",
+            "data_module_name": "Carla2D3D", "batch_size": 4,
+            "clip_length": 4, "val_set_size": 4, "test_set_size": 4,
+            "max_epochs": 1, "limit_train_batches": 1,
+            "renderers": "none", "loss_modes": "loc_2d",
+        },
+        "compare_params": {"movements_model_name": ["Linear", "ZeroMovements"]},
+    }
+    cfg = tmp_path / "compare.yaml"
+    cfg.write_text(yaml.safe_dump(config))
+    compare_main(["-c", str(cfg), "-r", str(tmp_path / "out"),
+                  "-n", "1"])
+    outs = glob.glob(str(tmp_path / "out" / "**" / "stdout" / "*.out"),
+                     recursive=True)
+    assert len(outs) == 2
+    assert all(os.path.getsize(o) > 0 for o in outs)
