@@ -5,9 +5,13 @@ frame's 3D pose.
 Reference wrapper: ``modules/movements/pose_former/pose_former.py:17-138``
 (sliding window of ``receptive_frames`` over the clip, center-out writes,
 ``eval_slice`` trimming the uncovered edges). TPU-first: instead of a Python
-loop invoking the transformer per window, all L-rf+1 windows are gathered and
-folded into the batch axis — one big transformer call; window-center
-predictions are scattered back to their frame positions.
+loop invoking the transformer per window, the spatial transformer (which only
+mixes joints within a single frame) runs once per *distinct* frame — (B*L)
+sequences instead of the reference's (B*W*rf) window-folded frame instances,
+an exact rf/(~1)-fold dedup of overlapping-window work — and only then are the
+per-frame embeddings gathered into the L-rf+1 sliding windows and folded into
+the batch axis for the temporal transformer; window-center predictions are
+scattered back to their frame positions.
 
 ``PoseFormerRot`` is the 6D-rotations variant (``pose_former_rot.py``)."""
 
@@ -78,12 +82,12 @@ class PoseFormer(MovementsModel):
                      + shift + 1)
 
     def _windows(self, x):
-        """(B, L, J, C) -> (B, W, rf, J, C) sliding windows."""
+        """(B, L, ...) -> (B, W, rf, ...) sliding windows."""
         L = x.shape[1]
         rf = self.receptive_frames
         W = L - rf + 1
         starts = jnp.arange(W)[:, None] + jnp.arange(rf)[None, :]  # (W, rf)
-        return x[:, starts]  # gather -> (B, W, rf, J, C)
+        return x[:, starts]  # gather -> (B, W, rf, ...)
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
@@ -99,24 +103,26 @@ class PoseFormer(MovementsModel):
         Block = nn.remat(_Block, static_argnums=(2,)) if self.remat \
             else _Block
 
-        windows = self._windows(x[..., :2])          # (B, W, rf, J, 2)
-        h = windows.reshape(B * W, rf, J, 2)
-
-        # spatial transformer: joints as tokens, per frame
-        s = nn.Dense(emb, name="spatial_patch_embed")(h)  # (BW, rf, J, emb)
+        # spatial transformer: joints as tokens, once per distinct frame —
+        # the spatial stage never mixes frames, so overlapping windows share
+        # frame embeddings exactly (B*L sequences instead of B*W*rf)
+        s = nn.Dense(emb, name="spatial_patch_embed")(
+            x[..., :2])                               # (B, L, J, emb)
         s = s + self.param("spatial_pos_embed",
                            nn.initializers.truncated_normal(0.02),
                            (1, 1, J, emb))
         s = nn.Dropout(self.drop_rate, deterministic=not training)(s)
-        s = s.reshape(B * W * rf, J, emb)
+        s = s.reshape(B * L, J, emb)
         for i in range(self.depth):
             s = Block(emb, self.num_heads, self.mlp_ratio, self.drop_rate,
                       self.attn_drop_rate, name=f"spatial_block_{i}")(
                 s, training)
         s = nn.LayerNorm(name="spatial_norm")(s)
 
-        # temporal transformer: frames as tokens
-        t = s.reshape(B * W, rf, frame_dim)
+        # gather per-frame embeddings into sliding windows for the temporal
+        # transformer: frames as tokens
+        windows = self._windows(s.reshape(B, L, frame_dim))  # (B, W, rf, D)
+        t = windows.reshape(B * W, rf, frame_dim)
         t = t + self.param("temporal_pos_embed",
                            nn.initializers.truncated_normal(0.02),
                            (1, rf, frame_dim))
