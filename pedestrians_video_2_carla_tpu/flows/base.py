@@ -45,6 +45,7 @@ class BaseFlow:
                  movements_optimizer: Optional[OptimizerSettings] = None,
                  trajectory_optimizer: Optional[OptimizerSettings] = None,
                  transform: str = "hips_neck",
+                 precision: str = "32",
                  **kwargs):
         self.movements_model = movements_model \
             if movements_model is not None else ZeroMovements()
@@ -63,6 +64,14 @@ class BaseFlow:
         self.movements_optimizer = movements_optimizer or OptimizerSettings()
         self.trajectory_optimizer = trajectory_optimizer or OptimizerSettings()
         self.transform = transform
+        # AMP-style mixed precision (the Lightning ``--precision`` equivalent,
+        # reference passes it through ``pl.Trainer.from_argparse_args``,
+        # modeling.py:275-279): master params stay fp32; params and inputs are
+        # cast to bf16 at model-apply time so the model matmuls hit the MXU at
+        # full rate, and model outputs are cast back to fp32 before the
+        # FK/projection/loss geometry (which must stay fp32 — see
+        # ops/rotations.py).
+        self.precision = "bf16" if str(precision) in ("16", "bf16") else "32"
         self.outputs_key = "projection_2d" if transform in (None, "none") \
             else "projection_2d_transformed"
 
@@ -158,8 +167,21 @@ class BaseFlow:
             {"movements": tx_m, "trajectory": tx_t}, label)
 
     # -- model application -------------------------------------------------
+    @staticmethod
+    def _cast_floats(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
     def _apply_model(self, model, params, mutables, inputs, targets,
                      training: bool, rngs=None):
+        half = self.precision == "bf16"
+        if half:
+            params = self._cast_floats(params, jnp.bfloat16)
+            inputs = self._cast_floats(inputs, jnp.bfloat16)
+            if targets is not None:
+                targets = self._cast_floats(targets, jnp.bfloat16)
         variables = {"params": params, **mutables}
         mutable_keys = [k for k in mutables.keys() if mutables[k]]
         kwargs = {}
@@ -169,9 +191,18 @@ class BaseFlow:
             out, updated = model.apply(
                 variables, inputs, targets, training=training,
                 mutable=mutable_keys, **kwargs)
+            if half:
+                out = self._cast_floats(out, jnp.float32)
+                # keep stored mutable collections (batch stats) in their
+                # original dtypes so the jit carry shape is stable
+                updated = jax.tree_util.tree_map(
+                    lambda o, n: n.astype(o.dtype)
+                    if hasattr(o, "dtype") else n, mutables, updated)
             return out, updated
         out = model.apply(variables, inputs, targets, training=training,
                           **kwargs)
+        if half:
+            out = self._cast_floats(out, jnp.float32)
         return out, mutables
 
     def _inner_step(self, params, mutables, batch, training: bool, rngs):

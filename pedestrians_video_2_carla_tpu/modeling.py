@@ -118,6 +118,10 @@ def add_flow_args(parser: argparse.ArgumentParser):
     group.add_argument("--loss_weights", nargs="+", default=[],
                        help="e.g. loc_2d=1.0 loc_3d=1.0 rot_3d=3.0")
     group.add_argument("--mask_missing_joints", type=boolean, default=True)
+    group.add_argument("--precision", default="32",
+                       choices=["32", "16", "bf16"],
+                       help="16/bf16 = AMP-style: bf16 model compute, fp32 "
+                            "master weights and fp32 FK/projection geometry")
     group.add_argument("--movements_output_type",
                        default="pose_changes",
                        choices=[t.name for t in MovementsModelOutputType])
@@ -302,6 +306,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         loss_params=flat_args_as_list_arg(args_dict, "loss_params"),
         mask_missing_joints=args.mask_missing_joints,
         transform=args.transform,
+        precision=args.precision,
         classification_targets_key=args.classification_targets_key
         or "crossing",
         classification_average=args.classification_average,

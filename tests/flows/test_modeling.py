@@ -300,3 +300,19 @@ def test_compare_runner(tmp_path):
                      recursive=True)
     assert len(outs) == 2
     assert all(os.path.getsize(o) > 0 for o in outs)
+
+
+def test_bf16_precision_trains():
+    """--precision bf16: model compute in bf16, master params/geometry fp32;
+    losses finite and params unchanged in dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    results = _run("--flow=pose_lifting", "--movements_model_name=LinearAE",
+                   "--loss_modes", "loc_2d_3d", "--precision", "bf16")
+    flow = results["flow"]
+    assert flow.precision == "bf16"
+    state = results["trainer"].state
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert leaves and all(l.dtype == jnp.float32 for l in leaves)
+    assert float(results["val_metrics"]["val/MPJPE"]) >= 0
