@@ -178,9 +178,16 @@ class Seq2Seq(MovementsModel):
                        residual=self.residual,
                        deterministic=not training,
                        name="decoder")
-        init_inp = jnp.zeros((B, output_size), x.dtype)
+        # the scan carry must be dtype-stable: flax initializes LSTM carries
+        # in fp32, while under mixed precision (bf16 params/inputs) the step
+        # produces bf16 — cast every carry/step input to the compute dtype
+        cdt = inp.dtype
+        enc_states = jax.tree_util.tree_map(
+            lambda s: s.astype(cdt), tuple(enc_states))
+        init_inp = jnp.zeros((B, output_size), cdt)
         (_, _), outputs = decoder(
-            (tuple(enc_states), init_inp), (force_mask, force_targets))
+            (enc_states, init_inp),
+            (force_mask, force_targets.astype(cdt)))
 
         outputs = jnp.swapaxes(outputs, 0, 1)  # (B, L, E) batch-first
         outputs = outputs.reshape(B, L, out_joints, self.output_features)

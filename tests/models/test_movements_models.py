@@ -125,3 +125,45 @@ def test_simple_transformer_grad(rng):
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("name,output_type", [
+    ("LSTM", MOT.pose_changes),
+    ("Seq2SeqEmbeddings", MOT.pose_changes),
+    ("LinearAEResidual", MOT.absolute_loc_rot),  # BatchNorm mutables
+    ("SimpleTransformer", MOT.pose_2d),
+    ("PoseFormer", MOT.absolute_loc),
+])
+def test_bf16_training_step(name, output_type, rng):
+    """Mixed precision: one jitted training step per representative model
+    family — bf16 model compute must produce stable jit carries (scan
+    carry dtypes, BatchNorm stats) and finite fp32 losses."""
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.autoencoder import AutoencoderFlow
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+
+    flow_cls = AutoencoderFlow if output_type == MOT.pose_2d \
+        else PoseLiftingFlow
+    loss = LossModes.loc_2d if output_type == MOT.pose_2d \
+        else LossModes.loc_2d_3d
+    kwargs = {"movements_output_type": output_type}
+    if name.startswith("PoseFormer"):
+        kwargs = {"clip_length": 12}
+    batch = generate_batch(
+        jax.random.PRNGKey(0), Carla2D3DConfig(batch_size=2, clip_length=12))
+    flow = flow_cls(movements_model=MOVEMENTS_MODELS[name](**kwargs),
+                    loss_modes=[loss],
+                    movements_optimizer=OptimizerSettings(lr=1e-3),
+                    precision="bf16")
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+    step = jax.jit(flow.training_step, donate_argnums=(0,))
+    state, logs = step(state, batch, jax.random.PRNGKey(2))
+    state, logs = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(logs["train_loss/primary"]))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
