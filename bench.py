@@ -112,12 +112,15 @@ def bench_tpu_train():
 
 
 def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
-                steps=20, warmup=5, grad_accum=1, **model_kwargs):
+                steps=20, warmup=5, grad_accum=1, precision="32",
+                **model_kwargs):
     """Train-step throughput (clips/s) for one BASELINE config.
 
     ``grad_accum > 1`` runs microbatches of ``batch_size`` with
     ``optax.MultiSteps`` so the effective update batch is
-    ``batch_size * grad_accum`` while the compiled shapes stay small."""
+    ``batch_size * grad_accum`` while the compiled shapes stay small.
+    ``precision='bf16'`` = the CLI's --precision bf16 (AMP-style: bf16
+    model compute, fp32 master weights and FK/projection geometry)."""
     import jax
     import optax
 
@@ -133,7 +136,8 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
     flow = flow_cls(
         movements_model=MOVEMENTS_MODELS[model_name](**model_kwargs),
         loss_modes=loss_modes,
-        movements_optimizer=OptimizerSettings(lr=1e-3))
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        precision=precision)
     if grad_accum > 1:
         inner_make = flow._make_optimizer
         flow._make_optimizer = lambda: optax.with_extra_args_support(
@@ -162,36 +166,44 @@ def bench_secondary_configs():
     from pedestrians_video_2_carla_tpu.losses import LossModes
 
     out = {}
-    try:
-        out["seq2seq_ae_clips_per_sec"] = round(_time_train(
-            "Seq2SeqEmbeddings", AutoencoderFlow, [LossModes.loc_2d],
-            batch_size=256, clip_length=16,
-            movements_output_type=MovementsModelOutputType.pose_2d), 2)
-    except Exception as e:
-        out["seq2seq_ae_error"] = repr(e)[:120]
-    try:
-        out["videopose3d_L81_clips_per_sec"] = round(_time_train(
-            "VideoPose3D", PoseLiftingFlow, [LossModes.loc_2d],
-            batch_size=64, clip_length=81), 2)
-    except Exception as e:
-        out["videopose3d_error"] = repr(e)[:120]
-    # config 5 asks for batch 1024; the remote compile helper dies on the
-    # 8192-window transformer grad graph at that shape, so fall back to the
-    # same effective batch via 2x512 gradient accumulation, then smaller
-    attempts = [
-        ("poseformer_B1024_clips_per_sec", dict(batch_size=1024)),
-        ("poseformer_B1024_accum2x512_clips_per_sec",
-         dict(batch_size=512, grad_accum=2)),
-        ("poseformer_B256_clips_per_sec", dict(batch_size=256)),
-    ]
-    for key, kw in attempts:
+    for precision in ("32", "bf16"):
+        suffix = "" if precision == "32" else "_bf16"
         try:
-            out[key] = round(_time_train(
-                "PoseFormer", PoseLiftingFlow, [LossModes.loc_2d_3d],
-                clip_length=16, **kw), 2)
-            break
+            out[f"seq2seq_ae_clips_per_sec{suffix}"] = round(_time_train(
+                "Seq2SeqEmbeddings", AutoencoderFlow, [LossModes.loc_2d],
+                batch_size=256, clip_length=16, precision=precision,
+                movements_output_type=MovementsModelOutputType.pose_2d), 2)
         except Exception as e:
-            out["poseformer_error"] = repr(e)[:120]
+            out[f"seq2seq_ae_error{suffix}"] = repr(e)[:120]
+    for precision in ("32", "bf16"):
+        suffix = "" if precision == "32" else "_bf16"
+        try:
+            out[f"videopose3d_L81_clips_per_sec{suffix}"] = round(_time_train(
+                "VideoPose3D", PoseLiftingFlow, [LossModes.loc_2d],
+                batch_size=64, clip_length=81, precision=precision), 2)
+        except Exception as e:
+            out[f"videopose3d_error{suffix}"] = repr(e)[:120]
+    # config 5 (PoseFormer + full loss stack at batch 1024) compiles directly
+    # since the spatial-transformer dedup shrank the grad graph; keep the
+    # gradient-accumulation and smaller-batch fallbacks for robustness
+    for precision in ("32", "bf16"):
+        suffix = "" if precision == "32" else "_bf16"
+        attempts = [
+            (f"poseformer_B1024_clips_per_sec{suffix}",
+             dict(batch_size=1024)),
+            (f"poseformer_B1024_accum2x512_clips_per_sec{suffix}",
+             dict(batch_size=512, grad_accum=2)),
+            (f"poseformer_B256_clips_per_sec{suffix}",
+             dict(batch_size=256)),
+        ]
+        for key, kw in attempts:
+            try:
+                out[key] = round(_time_train(
+                    "PoseFormer", PoseLiftingFlow, [LossModes.loc_2d_3d],
+                    clip_length=16, precision=precision, **kw), 2)
+                break
+            except Exception as e:
+                out[f"poseformer_error{suffix}"] = repr(e)[:120]
     return out
 
 

@@ -49,6 +49,11 @@ def add_program_args(parser: argparse.ArgumentParser):
                              "loop under {log_dir}/trace and print host-side "
                              "timing accumulators at exit")
     parser.add_argument("--renderers", nargs="*", default=["none"])
+    parser.add_argument("--max_videos", type=int, default=4)
+    parser.add_argument("--video_saving_frequency_reduction", type=int,
+                        default=10)
+    parser.add_argument("--merging_method", default="square",
+                        choices=["square", "horizontal", "vertical"])
     return parser
 
 
@@ -394,7 +399,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             renderers=renderers,
             input_nodes=input_nodes or CARLA_SKELETON,
             output_nodes=output_nodes or input_nodes or CARLA_SKELETON,
-            log_every_n_steps=args.log_every_n_steps)
+            log_every_n_steps=args.log_every_n_steps,
+            max_videos=args.max_videos,
+            video_saving_frequency_reduction=
+            args.video_saving_frequency_reduction,
+            merging_method=args.merging_method,
+            source_videos_dir=args.source_videos_dir)
     trainer = Trainer(flow, dm, config, video_logger=video_logger)
 
     dm.prepare_data()
