@@ -25,15 +25,14 @@ import numpy as np
 from ..skeletons.carla import NUM_BONES, PARENTS, TOPO_LEVELS
 from .rotations import mm
 
-# Precomputed static gather indices: per level, the bone ids and their parents.
-_LEVEL_BONES = [np.asarray(lv, dtype=np.int32) for lv in TOPO_LEVELS]
-_LEVEL_PARENTS = [PARENTS[lv].astype(np.int32) for lv in TOPO_LEVELS]
-
 _LEVELS_CACHE = {}
 
 
 def _levels_for(parents: Tuple[int, ...]):
-    """Bones grouped by tree depth for an arbitrary skeleton (cached)."""
+    """Static FK schedule for a skeleton: bones grouped by tree depth, each
+    level's parent positions *within the previous level* (a bone at depth d
+    always has its parent at depth d-1), and the gather permutation mapping
+    topo-concatenated results back to bone order. Cached per skeleton."""
     if parents not in _LEVELS_CACHE:
         p = np.asarray(parents, dtype=np.int32)
         depth = np.zeros(len(p), dtype=np.int32)
@@ -41,9 +40,22 @@ def _levels_for(parents: Tuple[int, ...]):
             depth[i] = 0 if pi < 0 else depth[pi] + 1
         levels = [np.nonzero(depth == d)[0].astype(np.int32)
                   for d in range(int(depth.max()) + 1)]
-        _LEVELS_CACHE[parents] = (
-            [lv for lv in levels], [p[lv] for lv in levels])
+        # parent position within the previous level
+        parent_pos = [None]
+        for d in range(1, len(levels)):
+            prev_index = {int(b): i for i, b in enumerate(levels[d - 1])}
+            parent_pos.append(np.asarray(
+                [prev_index[int(p[b])] for b in levels[d]], dtype=np.int32))
+        # inverse permutation: bone order -> position in topo concatenation
+        topo = np.concatenate(levels)
+        inv = np.empty_like(topo)
+        inv[topo] = np.arange(len(topo), dtype=np.int32)
+        _LEVELS_CACHE[parents] = (levels, parent_pos, inv)
     return _LEVELS_CACHE[parents]
+
+
+# Precomputed schedule for the CARLA 26-bone skeleton.
+_CARLA_SCHEDULE = _levels_for(tuple(int(p) for p in PARENTS))
 
 
 # ---------------------------------------------------------------------------
@@ -90,40 +102,52 @@ def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray,
     rel_rot = jnp.asarray(rel_rot)
     if parents is None:
         num_bones = NUM_BONES
-        level_bones, level_parents = _LEVEL_BONES, _LEVEL_PARENTS
+        level_bones, level_parent_pos, inv_perm = _CARLA_SCHEDULE
     else:
         num_bones = len(parents)
-        level_bones, level_parents = _levels_for(tuple(int(p)
-                                                       for p in parents))
+        level_bones, level_parent_pos, inv_perm = _levels_for(
+            tuple(int(p) for p in parents))
     if rel_loc.shape[-2] != num_bones or rel_rot.shape[-3] != num_bones:
         # out-of-bounds gathers would otherwise clamp silently under jit
         raise ValueError(
             f"forward_kinematics expects {num_bones} bones, got "
             f"loc {rel_loc.shape} / rot {rel_rot.shape}")
     # component planes: rotations (..., J) x9, locations (..., J) x3
-    rot = list(_unpack9(rel_rot))
-    loc = [rel_loc[..., 0], rel_loc[..., 1], rel_loc[..., 2]]
-    abs_rot = list(rot)
-    abs_loc = list(loc)
-    # level 0 is the root: parent is the identity transform, so abs == rel.
-    for bones, bone_parents in zip(level_bones[1:], level_parents[1:]):
-        p_rot = [c[..., bone_parents] for c in abs_rot]
-        p_loc = [c[..., bone_parents] for c in abs_loc]
+    rot = _unpack9(rel_rot)
+    loc = (rel_loc[..., 0], rel_loc[..., 1], rel_loc[..., 2])
+    # Scatter-free schedule: a depth-d bone's parent sits exactly at depth
+    # d-1, so each level only gathers from the previous level's results; the
+    # per-level outputs are concatenated in topological order and un-permuted
+    # once at the end (static gather). This avoids the ~(12 planes x levels)
+    # `.at[].set` scatter chain of the naive formulation.
+    prev_rot = tuple(c[..., level_bones[0]] for c in rot)
+    prev_loc = tuple(c[..., level_bones[0]] for c in loc)
+    out_rot = [prev_rot]
+    out_loc = [prev_loc]
+    for bones, parent_pos in zip(level_bones[1:], level_parent_pos[1:]):
+        p_rot = [c[..., parent_pos] for c in prev_rot]
+        p_loc = [c[..., parent_pos] for c in prev_loc]
         c_rot = [c[..., bones] for c in rot]
         c_loc = [c[..., bones] for c in loc]
-        new_rot = _compose9(p_rot, c_rot)  # rel @ parent
+        prev_rot = _compose9(p_rot, c_rot)  # rel @ parent
         # row-vector: loc' = loc @ R_parent + loc_parent
-        new_loc = [
+        prev_loc = (
             c_loc[0] * p_rot[0] + c_loc[1] * p_rot[3] + c_loc[2] * p_rot[6]
             + p_loc[0],
             c_loc[0] * p_rot[1] + c_loc[1] * p_rot[4] + c_loc[2] * p_rot[7]
             + p_loc[1],
             c_loc[0] * p_rot[2] + c_loc[1] * p_rot[5] + c_loc[2] * p_rot[8]
             + p_loc[2],
-        ]
-        abs_rot = [c.at[..., bones].set(n) for c, n in zip(abs_rot, new_rot)]
-        abs_loc = [c.at[..., bones].set(n) for c, n in zip(abs_loc, new_loc)]
-    return jnp.stack(abs_loc, axis=-1), _pack9(tuple(abs_rot))
+        )
+        out_rot.append(prev_rot)
+        out_loc.append(prev_loc)
+    abs_rot = tuple(
+        jnp.concatenate([lv[i] for lv in out_rot], axis=-1)[..., inv_perm]
+        for i in range(9))
+    abs_loc = tuple(
+        jnp.concatenate([lv[i] for lv in out_loc], axis=-1)[..., inv_perm]
+        for i in range(3))
+    return jnp.stack(abs_loc, axis=-1), _pack9(abs_rot)
 
 
 def move(changes_matrix: jnp.ndarray, prev_relative_rot: jnp.ndarray) -> jnp.ndarray:
