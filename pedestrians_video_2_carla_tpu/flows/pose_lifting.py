@@ -57,11 +57,19 @@ class PoseLiftingFlow(BaseFlow):
             self.movements_model, params["movements"], mutables["movements"],
             inputs, targets if training and self.movements_model.needs_targets
             else None, training, rngs)
-        (world_loc_inputs, world_rot_inputs), traj_mutables = self._apply_model(
-            self.trajectory_model, params["trajectory"],
-            mutables["trajectory"], inputs,
-            targets if training and self.trajectory_model.needs_targets
-            else None, training, rngs)
+        if getattr(self.trajectory_model, "is_zero", False):
+            # identity world track: skip the model call and the world-changes
+            # accumulation scan (ProjectionModule's None path broadcasts the
+            # initial transform instead)
+            world_loc_inputs = world_rot_inputs = None
+            traj_mutables = mutables["trajectory"]
+        else:
+            (world_loc_inputs, world_rot_inputs), traj_mutables = \
+                self._apply_model(
+                    self.trajectory_model, params["trajectory"],
+                    mutables["trajectory"], inputs,
+                    targets if training and self.trajectory_model.needs_targets
+                    else None, training, rngs)
 
         proj_state = projection_state_for(meta["age_gender_idx"])
         projection_2d, proj_outputs = self.projection(
@@ -88,8 +96,10 @@ class PoseLiftingFlow(BaseFlow):
                 projection_2d[es][..., :2],
                 self.movements_model.output_nodes, extractor=self.transform)
             sliced["projection_2d_transformed"] = normalized
-        sliced["world_loc_inputs"] = world_loc_inputs[es]
-        sliced["world_rot_inputs"] = world_rot_inputs[es]
+        sliced["world_loc_inputs"] = None if world_loc_inputs is None \
+            else world_loc_inputs[es]
+        sliced["world_rot_inputs"] = None if world_rot_inputs is None \
+            else world_rot_inputs[es]
         sliced["targets"] = {k: v[es] if hasattr(v, "ndim") and v.ndim > 1
                              else v for k, v in targets.items()}
         for k, v in proj_outputs.items():

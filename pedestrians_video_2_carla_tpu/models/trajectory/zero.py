@@ -20,7 +20,11 @@ class TrajectoryModel(nn.Module):
 
 
 class ZeroTrajectory(TrajectoryModel):
-    """No in-world movement: zero location changes + identity rotations."""
+    """No in-world movement: zero location changes + identity rotations.
+
+    ``is_zero`` lets flows skip the world-track accumulation entirely
+    (identity transforms) instead of scanning over literal zeros."""
+    is_zero = True
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):

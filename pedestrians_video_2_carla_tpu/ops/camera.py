@@ -76,15 +76,14 @@ class PinholeCamera(NamedTuple):
     principal: Tuple[float, float]    # (px, py) pixels
     image_size: Tuple[int, int]       # (width, height)
 
-    def project(self, points_world: jnp.ndarray) -> jnp.ndarray:
-        """(..., 3) world points -> (..., 3) = (x_screen, y_screen, depth).
+    def project_planes(self, x, y, z0):
+        """Plane form of :meth:`project`: 3 (...,) world component planes ->
+        (x_screen, y_screen, depth) planes.
 
         Written in unstacked component form: batched (.., 3) x (3, 3) matmuls
         force the TPU to pad the 3-wide dims to full (8, 128) tiles (~40x
         memory bloat); as elementwise FMAs over the big batch dims the whole
         projection runs on the VPU at bandwidth speed."""
-        x, y, z0 = (points_world[..., 0], points_world[..., 1],
-                    points_world[..., 2])
         R, T = self.R, self.T
         vx = x * R[0, 0] + y * R[1, 0] + z0 * R[2, 0] + T[0]
         vy = x * R[0, 1] + y * R[1, 1] + z0 * R[2, 1] + T[1]
@@ -95,6 +94,12 @@ class PinholeCamera(NamedTuple):
         inv_z = 1.0 / vz
         x_screen = w - (fx * vx * inv_z + px)
         y_screen = h - (fy * vy * inv_z + py)
+        return x_screen, y_screen, vz
+
+    def project(self, points_world: jnp.ndarray) -> jnp.ndarray:
+        """(..., 3) world points -> (..., 3) = (x_screen, y_screen, depth)."""
+        x_screen, y_screen, vz = self.project_planes(
+            points_world[..., 0], points_world[..., 1], points_world[..., 2])
         return jnp.stack([x_screen, y_screen, vz], axis=-1)
 
 
@@ -140,11 +145,24 @@ def project_pose(camera: PinholeCamera,
     :param world_rot: broadcastable (..., 3, 3) pedestrian world rotation.
     :return: (..., J, 3) = (x_screen, y_screen, depth).
     """
+    sx, sy, vz = project_pose_planes(
+        camera,
+        (abs_pose_loc[..., 0], abs_pose_loc[..., 1], abs_pose_loc[..., 2]),
+        world_loc=world_loc, world_rot=world_rot)
+    return jnp.stack([sx, sy, vz], axis=-1)
+
+
+def project_pose_planes(camera: PinholeCamera, abs_loc_planes,
+                        world_loc: Optional[jnp.ndarray] = None,
+                        world_rot: Optional[jnp.ndarray] = None):
+    """Plane form of :func:`project_pose`: 3 (..., J) absolute-location
+    component planes -> (x_screen, y_screen, depth) planes. The fused
+    training path stays in planes end-to-end (trailing 3-dims cost TPU
+    relayout pads at every stage boundary)."""
+    x, y, z = abs_loc_planes
     # p3d pose -> p3d world axis swap: (x, y, z) -> (y, -x, z), in component
-    # form (see PinholeCamera.project for why not batched 3x3 matmuls)
-    wx = abs_pose_loc[..., 1]
-    wy = -abs_pose_loc[..., 0]
-    wz = abs_pose_loc[..., 2]
+    # form (see PinholeCamera.project_planes for why not batched matmuls)
+    wx, wy, wz = y, -x, z
     if world_rot is not None:
         # (..., 3, 3) per-clip rotation broadcast over the joint axis
         r = world_rot[..., None, :, :]
@@ -157,4 +175,4 @@ def project_pose(camera: PinholeCamera,
         wx = wx + world_loc[..., None, 0]
         wy = wy + world_loc[..., None, 1]
         wz = wz + world_loc[..., None, 2]
-    return camera.project(jnp.stack([wx, wy, wz], axis=-1))
+    return camera.project_planes(wx, wy, wz)

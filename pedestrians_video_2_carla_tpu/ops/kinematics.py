@@ -100,21 +100,30 @@ def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray,
     """
     rel_loc = jnp.asarray(rel_loc)
     rel_rot = jnp.asarray(rel_rot)
-    if parents is None:
-        num_bones = NUM_BONES
-        level_bones, level_parent_pos, inv_perm = _CARLA_SCHEDULE
-    else:
-        num_bones = len(parents)
-        level_bones, level_parent_pos, inv_perm = _levels_for(
-            tuple(int(p) for p in parents))
+    num_bones = NUM_BONES if parents is None else len(parents)
     if rel_loc.shape[-2] != num_bones or rel_rot.shape[-3] != num_bones:
         # out-of-bounds gathers would otherwise clamp silently under jit
         raise ValueError(
             f"forward_kinematics expects {num_bones} bones, got "
             f"loc {rel_loc.shape} / rot {rel_rot.shape}")
-    # component planes: rotations (..., J) x9, locations (..., J) x3
-    rot = _unpack9(rel_rot)
-    loc = (rel_loc[..., 0], rel_loc[..., 1], rel_loc[..., 2])
+    abs_loc, abs_rot = fk_planes(
+        (rel_loc[..., 0], rel_loc[..., 1], rel_loc[..., 2]),
+        _unpack9(rel_rot), parents)
+    return jnp.stack(abs_loc, axis=-1), _pack9(abs_rot)
+
+
+def fk_planes(loc, rot, parents: Optional[Tuple[int, ...]] = None):
+    """Plane-level FK: ``loc`` = 3 (..., J) location planes, ``rot`` = 9
+    (..., J) rotation component planes -> (abs_loc planes, abs_rot planes).
+
+    This is the fused-path entry (no (..., 3, 3) materialization — trailing
+    3x3 dims tile to (8, 128) on TPU and every pack/unpack at a stage
+    boundary costs a relayout pad; see ops/projection.py)."""
+    if parents is None:
+        level_bones, level_parent_pos, inv_perm = _CARLA_SCHEDULE
+    else:
+        level_bones, level_parent_pos, inv_perm = _levels_for(
+            tuple(int(p) for p in parents))
     # Scatter-free schedule: a depth-d bone's parent sits exactly at depth
     # d-1, so each level only gathers from the previous level's results; the
     # per-level outputs are concatenated in topological order and un-permuted
@@ -147,7 +156,7 @@ def forward_kinematics(rel_loc: jnp.ndarray, rel_rot: jnp.ndarray,
     abs_loc = tuple(
         jnp.concatenate([lv[i] for lv in out_loc], axis=-1)[..., inv_perm]
         for i in range(3))
-    return jnp.stack(abs_loc, axis=-1), _pack9(abs_rot)
+    return abs_loc, abs_rot
 
 
 def move(changes_matrix: jnp.ndarray, prev_relative_rot: jnp.ndarray) -> jnp.ndarray:
@@ -170,10 +179,16 @@ def accumulate_pose_changes(pose_changes: jnp.ndarray,
     """
     # associative operator: a ⊕ b = b @ a  =>  scan_t = C_t @ ... @ C_0
     # (component planes: see the note above _unpack9)
-    changes = _unpack9(jnp.asarray(pose_changes))
-    cum = jax.lax.associative_scan(_compose9, changes, axis=1)
-    init = _unpack9(jnp.asarray(initial_rel_rot)[:, None])
-    return _pack9(_compose9(init, cum))
+    return _pack9(accumulate9(
+        _unpack9(jnp.asarray(pose_changes)),
+        _unpack9(jnp.asarray(initial_rel_rot)[:, None])))
+
+
+def accumulate9(changes9, init9):
+    """Plane-level :func:`accumulate_pose_changes`: 9 (B, L, J) change planes
+    + 9 (B, 1, J) initial planes -> 9 (B, L, J) relative-rotation planes."""
+    cum = jax.lax.associative_scan(_compose9, changes9, axis=1)
+    return _compose9(init9, cum)
 
 
 def relative_pose_over_clip(pose_changes: jnp.ndarray,
@@ -244,6 +259,7 @@ def world_from_changes(clip_shape: Tuple[int, int],
 
 
 __all__ = [
-    "NUM_BONES", "forward_kinematics", "move", "accumulate_pose_changes",
-    "relative_pose_over_clip", "world_from_changes",
+    "NUM_BONES", "forward_kinematics", "fk_planes", "move",
+    "accumulate_pose_changes", "accumulate9", "relative_pose_over_clip",
+    "world_from_changes",
 ]

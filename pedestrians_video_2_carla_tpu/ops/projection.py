@@ -17,6 +17,7 @@ from ..flows.output_types import (MovementsModelOutputType,
 from ..skeletons.carla import reference_poses_tensor
 from . import camera as C
 from . import kinematics as K
+from .kinematics import _pack9, _unpack9
 from .reference_skeletons import denormalize_from_abs
 
 
@@ -66,24 +67,40 @@ class ProjectionModule:
         mot = self.movements_output_type
 
         relative_loc = relative_rot = absolute_rot = None
-        if mot == MovementsModelOutputType.pose_changes:
+        abs_loc_planes = None  # plane-fused path (no (...,3,3) relayouts)
+        if mot in (MovementsModelOutputType.pose_changes,
+                   MovementsModelOutputType.relative_rot):
+            # fused plane path: unpack the model's rotation matrices once and
+            # stay in (B, L, J) component planes through the rotation
+            # accumulation, FK, and camera — trailing (3, 3)/(3,) dims tile
+            # to (8, 128) on TPU and every materialized stage boundary costs
+            # a relayout pad (measured ~55% of the train step's device time
+            # in the naive formulation)
             if pose_inputs.ndim < 5:
                 raise RuntimeError(
-                    "pose_changes input must be (B, L, J, 3, 3) rotation matrices")
-            relative_rot, absolute_loc, absolute_rot = K.relative_pose_over_clip(
-                pose_inputs, state.rel_loc, state.rel_rot)
-            clip_length = pose_inputs.shape[1]
+                    f"{mot.name} input must be (B, L, J, 3, 3) "
+                    "rotation matrices")
+            B, clip_length = pose_inputs.shape[:2]
+            if mot == MovementsModelOutputType.pose_changes:
+                rel9 = K.accumulate9(
+                    _unpack9(pose_inputs), _unpack9(state.rel_rot[:, None]))
+            else:
+                rel9 = _unpack9(pose_inputs)
+            loc_planes = tuple(
+                jnp.broadcast_to(state.rel_loc[:, None, :, i],
+                                 (B, clip_length, state.rel_loc.shape[1]))
+                for i in range(3))
+            abs_loc_planes, abs_rot9 = K.fk_planes(loc_planes, rel9)
+            # packed outputs for losses/metrics that want matrices; unused
+            # ones are dead-code-eliminated inside the jitted train step
+            relative_rot = pose_inputs \
+                if mot == MovementsModelOutputType.relative_rot \
+                else _pack9(rel9)
+            absolute_rot = _pack9(abs_rot9)
+            absolute_loc = jnp.stack(abs_loc_planes, axis=-1)
             relative_loc = jnp.broadcast_to(
                 state.rel_loc[:, None],
                 (state.rel_loc.shape[0], clip_length) + state.rel_loc.shape[1:])
-        elif mot == MovementsModelOutputType.relative_rot:
-            clip_length = pose_inputs.shape[1]
-            rel_loc_seq = jnp.broadcast_to(
-                state.rel_loc[:, None],
-                (state.rel_loc.shape[0], clip_length) + state.rel_loc.shape[1:])
-            absolute_loc, absolute_rot = K.forward_kinematics(
-                rel_loc_seq, pose_inputs)
-            relative_loc, relative_rot = rel_loc_seq, pose_inputs
         elif mot == MovementsModelOutputType.absolute_loc:
             if pose_inputs.ndim < 4:
                 raise RuntimeError(
@@ -102,9 +119,24 @@ class ProjectionModule:
 
         world_loc, world_rot = self._world(
             state, absolute_loc, world_loc_inputs, world_rot_inputs)
+        # identity world track (no trajectory/world inputs): skip the world
+        # transform in the projection — the broadcast zeros/identity arrays
+        # still go into the outputs dict for metrics/predictions
+        identity_world = (
+            self.trajectory_output_type == TrajectoryModelOutputType.changes
+            and world_loc_inputs is None and world_rot_inputs is None
+            and state.initial_world_loc is None
+            and state.initial_world_rot is None)
+        w_loc = None if identity_world else world_loc
+        w_rot = None if identity_world else world_rot
 
-        projections = C.project_pose(
-            self.camera, absolute_loc, world_loc=world_loc, world_rot=world_rot)
+        if abs_loc_planes is not None:
+            sx, sy, vz = C.project_pose_planes(
+                self.camera, abs_loc_planes, world_loc=w_loc, world_rot=w_rot)
+            projections = jnp.stack([sx, sy, vz], axis=-1)
+        else:
+            projections = C.project_pose(
+                self.camera, absolute_loc, world_loc=w_loc, world_rot=w_rot)
 
         return projections, {
             "relative_pose_loc": relative_loc,
