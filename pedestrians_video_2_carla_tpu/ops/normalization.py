@@ -36,13 +36,27 @@ class ShiftScale(NamedTuple):
     scale: jnp.ndarray  # (...) per-frame scalar scale
 
 
+def _safe_norm(v: jnp.ndarray, axis: int = -1,
+               eps: float = 1e-12) -> jnp.ndarray:
+    """L2 norm whose VJP is finite at exactly-zero vectors.
+
+    ``jnp.linalg.norm`` at 0 produces ``0 * (0/0) = NaN`` cotangents even when
+    the *outer* gradient is masked to zero — and a predicted pose whose neck
+    and hips land on the same screen pixel (which does happen at model init
+    on TPU) then NaNs the whole training step. Clamping the summed squares
+    before the sqrt keeps primal values identical above sqrt(eps) and makes
+    the gradient exactly zero below it."""
+    sq = jnp.sum(v * v, axis=axis)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
 def hips_neck_shift_scale(sample: jnp.ndarray,
                           skeleton: Type[Skeleton]) -> ShiftScale:
     """Shift = hips point (mean over hips joints), scale = ||neck - hips||.
     Reference ``hips_neck_extractor.py:6-14``."""
     hips = sample[..., tuple(skeleton.get_hips_indices()), :].mean(axis=-2)
     neck = sample[..., tuple(skeleton.get_neck_indices()), :].mean(axis=-2)
-    scale = jnp.linalg.norm(neck - hips, axis=-1)
+    scale = _safe_norm(neck - hips, axis=-1)
     return ShiftScale(hips, scale)
 
 
@@ -54,7 +68,7 @@ def bbox_shift_scale(sample: jnp.ndarray,
     center = bboxes.mean(axis=-2)
     top_center = jnp.stack(
         [center[..., 0], bboxes[..., 0, 1]], axis=-1)
-    scale = jnp.linalg.norm(top_center - center, axis=-1)
+    scale = _safe_norm(top_center - center, axis=-1)
     return ShiftScale(center, scale)
 
 

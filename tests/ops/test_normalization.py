@@ -86,3 +86,30 @@ def test_reference_skeletons_denormalizer():
     out = np.asarray(RS.denormalize_from_projection(
         frames, idx, autonormalize=True))
     np.testing.assert_allclose(out[0, 0], proj[0, :, :2], atol=1e-2)
+
+
+def test_degenerate_pose_normalize_grad_is_finite():
+    """A predicted pose whose neck and hips land on the same pixel must not
+    NaN the gradient: jnp.linalg.norm at exactly 0 yields NaN cotangents even
+    under a zero outer gradient (observed at model init on TPU, where it
+    NaN'd entire training runs)."""
+    import jax
+
+    from pedestrians_video_2_carla_tpu.ops import normalization as N
+    from pedestrians_video_2_carla_tpu.skeletons.carla import CARLA_SKELETON
+
+    pose = jnp.ones((2, 3, 26, 2))  # every joint identical -> scale == 0
+
+    def loss(p):
+        out, _ = N.normalize_with(p, CARLA_SKELETON, "hips_neck")
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(pose)
+    assert bool(jnp.isfinite(g).all())
+
+    def loss_bbox(p):
+        out, _ = N.normalize_with(p, CARLA_SKELETON, "bbox")
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss_bbox)(pose)
+    assert bool(jnp.isfinite(g).all())
