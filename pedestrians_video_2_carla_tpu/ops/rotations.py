@@ -103,7 +103,11 @@ def matrix_to_euler_angles(matrix: jnp.ndarray, convention: str = "XYZ") -> jnp.
 def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) column-vector-convention
     rotation matrices (the convention SMPL body models use)."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    # sqrt of clamped sum-of-squares: jnp.linalg.norm has a NaN gradient at
+    # exactly-zero vectors (0 * (0/0)); the clamped form returns the identity
+    # matrix there with a finite (zero) gradient
+    angle = jnp.sqrt(jnp.maximum(
+        jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True), 1e-24))
     axis = axis_angle / jnp.maximum(angle, 1e-12)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zero = jnp.zeros_like(x)
