@@ -184,7 +184,17 @@ class Seq2Seq(MovementsModel):
         cdt = inp.dtype
         enc_states = jax.tree_util.tree_map(
             lambda s: s.astype(cdt), tuple(enc_states))
-        init_inp = jnp.zeros((B, output_size), cdt)
+        if self.residual == "rot_mul":
+            # the multiplicative-rotation residual composes 6D rotations with
+            # the previous step's output; an all-zero start vector is a
+            # degenerate rotation whose Gram-Schmidt normalization has
+            # ~1/sqrt(eps)-scale gradients that overflow through the scan —
+            # start from the identity rotation's 6D representation instead
+            ident6 = jnp.asarray([1, 0, 0, 0, 1, 0], dtype=cdt)
+            init_inp = jnp.broadcast_to(
+                jnp.tile(ident6, output_size // 6), (B, output_size))
+        else:
+            init_inp = jnp.zeros((B, output_size), cdt)
         (_, _), outputs = decoder(
             (enc_states, init_inp),
             (force_mask, force_targets.astype(cdt)))

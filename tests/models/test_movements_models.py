@@ -167,3 +167,27 @@ def test_bf16_training_step(name, output_type, rng):
     assert np.isfinite(float(logs["train_loss/primary"]))
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_seq2seq_rot_mul_grad_is_finite(rng):
+    """Seq2SeqResidualC composes 6D rotations recurrently; a zero initial
+    decoder input is a degenerate rotation whose normalize gradients overflow
+    through the scan (NaN'd training on TPU). The identity-6D start must keep
+    one full training-style gradient finite."""
+    import jax
+
+    model = MOVEMENTS_MODELS["Seq2SeqResidualC"](
+        movements_output_type=MOT.pose_changes)
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           x, training=False)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, None, training=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(bool(jnp.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(g))
