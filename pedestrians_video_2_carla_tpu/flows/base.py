@@ -46,6 +46,7 @@ class BaseFlow:
                  trajectory_optimizer: Optional[OptimizerSettings] = None,
                  transform: str = "hips_neck",
                  precision: str = "32",
+                 gradient_clip_val: float = 0.0,
                  **kwargs):
         self.movements_model = movements_model \
             if movements_model is not None else ZeroMovements()
@@ -72,6 +73,9 @@ class BaseFlow:
         # FK/projection/loss geometry (which must stay fp32 — see
         # ops/rotations.py).
         self.precision = "bf16" if str(precision) in ("16", "bf16") else "32"
+        #: global-norm gradient clipping (the Lightning --gradient_clip_val
+        #: Trainer flag); 0 = off
+        self.gradient_clip_val = float(gradient_clip_val or 0.0)
         self.outputs_key = "projection_2d" if transform in (None, "none") \
             else "projection_2d_transformed"
 
@@ -163,8 +167,12 @@ class BaseFlow:
 
         def label(params):
             return {"movements": "movements", "trajectory": "trajectory"}
-        return optax.multi_transform(
+        tx = optax.multi_transform(
             {"movements": tx_m, "trajectory": tx_t}, label)
+        if self.gradient_clip_val > 0:
+            tx = optax.with_extra_args_support(optax.chain(
+                optax.clip_by_global_norm(self.gradient_clip_val), tx))
+        return tx
 
     # -- model application -------------------------------------------------
     @staticmethod

@@ -25,7 +25,9 @@ class ClassificationFlow:
                  num_classes: int = 2,
                  classification_optimizer: Optional[OptimizerSettings] = None,
                  transform: str = "hips_neck",
+                 gradient_clip_val: float = 0.0,
                  **kwargs) -> None:
+        self.gradient_clip_val = float(gradient_clip_val or 0.0)
         if classification_model is None:
             classification_model = CLASSIFICATION_MODELS["LSTM"]()
         self.classification_model = classification_model
@@ -123,8 +125,11 @@ class ClassificationFlow:
         params = {"classification": variables.get("params", {})}
         mutables = {"classification": {k: v for k, v in variables.items()
                                        if k != "params"}}
-        self._tx = optax.with_extra_args_support(
-            self.classification_optimizer.make())
+        tx = self.classification_optimizer.make()
+        if self.gradient_clip_val > 0:
+            tx = optax.chain(
+                optax.clip_by_global_norm(self.gradient_clip_val), tx)
+        self._tx = optax.with_extra_args_support(tx)
         opt_state = self._tx.init(params)
         return FlowState(params=params, mutables=mutables,
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))

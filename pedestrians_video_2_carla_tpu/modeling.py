@@ -65,6 +65,9 @@ def add_trainer_args(parser: argparse.ArgumentParser):
     group.add_argument("--limit_test_batches", type=int, default=None)
     group.add_argument("--log_every_n_steps", type=int, default=50)
     group.add_argument("--check_val_every_n_epoch", type=int, default=1)
+    group.add_argument("--gradient_clip_val", type=float, default=0.0,
+                       help="global-norm gradient clipping (0 = off), the "
+                            "Lightning Trainer flag equivalent")
     group.add_argument("--num_devices", type=int, default=None,
                        help="data-parallel mesh size (default: all devices)")
     return parser
@@ -312,6 +315,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         mask_missing_joints=args.mask_missing_joints,
         transform=args.transform,
         precision=args.precision,
+        gradient_clip_val=args.gradient_clip_val,
         classification_targets_key=args.classification_targets_key
         or "crossing",
         classification_average=args.classification_average,
