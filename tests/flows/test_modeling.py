@@ -316,3 +316,38 @@ def test_bf16_precision_trains():
     leaves = jax.tree_util.tree_leaves(state.params)
     assert leaves and all(l.dtype == jnp.float32 for l in leaves)
     assert float(results["val_metrics"]["val/MPJPE"]) >= 0
+
+
+def test_gradient_clip_val_bounds_update():
+    """--gradient_clip_val: the global grad norm is clipped before AdamW, so
+    one step from identical states with/without clipping differs once grads
+    exceed the clip threshold."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+
+    batch = generate_batch(
+        jax.random.PRNGKey(0), Carla2D3DConfig(batch_size=2, clip_length=4))
+    states = {}
+    for clip in (0.0, 1e-6):
+        flow = PoseLiftingFlow(
+            movements_model=MOVEMENTS_MODELS["Linear"](),
+            loss_modes=[LossModes.loc_2d],
+            movements_optimizer=OptimizerSettings(lr=1e-2),
+            gradient_clip_val=clip)
+        state = flow.init_state(jax.random.PRNGKey(1), batch)
+        state, logs = jax.jit(flow.training_step)(
+            state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(logs["train_loss/primary"]))
+        states[clip] = state
+    a = jax.tree_util.tree_leaves(states[0.0].params)
+    b = jax.tree_util.tree_leaves(states[1e-6].params)
+    assert any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
