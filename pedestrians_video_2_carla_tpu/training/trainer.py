@@ -105,8 +105,7 @@ class Trainer:
 
         if not self.config.skip_initial_metrics and jax.process_index() == 0:
             initial = self._initial_metrics()
-            if initial:
-                self.logger.log_hparams({**self.dm.hparams, **initial})
+            self.logger.log_hparams({**self.dm.hparams, **initial})
 
         limit = self._resolve_train_batches()
         rng = jax.random.PRNGKey(self.config.seed + 7)
@@ -290,7 +289,20 @@ class Trainer:
             any_batches = True
         if not any_batches:
             return {}
-        return _flatten_metrics(collection.compute(mstate), "initial")
+        # drop metrics whose accumulator never moved off its init state (the
+        # input-as-prediction baseline can't feed them, e.g. 3D MPJPE from 2D
+        # preds) — the reference skips those on KeyError instead of logging 0
+        init = collection.init_state()
+        computed = collection.compute(mstate)
+        for name in list(computed):
+            if name in init and name in mstate:
+                unchanged = all(
+                    np.array_equal(np.asarray(a), np.asarray(b))
+                    for a, b in zip(jax.tree_util.tree_leaves(init[name]),
+                                    jax.tree_util.tree_leaves(mstate[name])))
+                if unchanged:
+                    del computed[name]
+        return _flatten_metrics(computed, "initial")
 
 
 def _flatten_metrics(computed: Dict[str, Any], stage: str) -> Dict[str, Any]:
