@@ -26,8 +26,11 @@ class ClassificationFlow:
                  classification_optimizer: Optional[OptimizerSettings] = None,
                  transform: str = "hips_neck",
                  gradient_clip_val: float = 0.0,
+                 precision: str = "32",
                  **kwargs) -> None:
         self.gradient_clip_val = float(gradient_clip_val or 0.0)
+        #: AMP-style mixed precision — see flows/base.py (same contract)
+        self.precision = "bf16" if str(precision) in ("16", "bf16") else "32"
         if classification_model is None:
             classification_model = CLASSIFICATION_MODELS["LSTM"]()
         self.classification_model = classification_model
@@ -136,18 +139,30 @@ class ClassificationFlow:
 
     # -- steps --------------------------------------------------------------
     def _apply(self, params, mutables, inputs, training, rngs):
-        variables = {"params": params["classification"],
-                     **mutables["classification"]}
-        mutable_keys = [k for k in mutables["classification"]
-                        if mutables["classification"][k]]
+        from .base import BaseFlow
+        half = self.precision == "bf16"
+        cls_params = params["classification"]
+        cls_mutables = mutables["classification"]
+        if half:
+            cls_params = BaseFlow._cast_floats(cls_params, jnp.bfloat16)
+            inputs = BaseFlow._cast_floats(inputs, jnp.bfloat16)
+        variables = {"params": cls_params, **cls_mutables}
+        mutable_keys = [k for k in cls_mutables if cls_mutables[k]]
         kwargs = {"rngs": rngs} if rngs else {}
         if training and mutable_keys:
             logits, updated = self.classification_model.apply(
                 variables, inputs, training=training, mutable=mutable_keys,
                 **kwargs)
+            if half:
+                logits = BaseFlow._cast_floats(logits, jnp.float32)
+                updated = jax.tree_util.tree_map(
+                    lambda o, n: n.astype(o.dtype)
+                    if hasattr(o, "dtype") else n, cls_mutables, updated)
             return logits, {"classification": updated}
         logits = self.classification_model.apply(
             variables, inputs, training=training, **kwargs)
+        if half:
+            logits = BaseFlow._cast_floats(logits, jnp.float32)
         return logits, mutables
 
     def _loss(self, logits, targets):
