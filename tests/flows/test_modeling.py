@@ -351,3 +351,20 @@ def test_gradient_clip_val_bounds_update():
     b = jax.tree_util.tree_leaves(states[1e-6].params)
     assert any(not np.allclose(np.asarray(x), np.asarray(y))
                for x, y in zip(a, b))
+
+
+def test_classification_finetuning_chain(tmp_path):
+    """Two-stage chaining (reference ``classification_finetuning.py:44-175``):
+    AE predict over all sets -> save_predictions subsets tree -> classifier
+    tuned on the AE outputs via --subsets_dir."""
+    from pedestrians_video_2_carla_tpu.classification_finetuning import \
+        main as cft_main
+
+    results = cft_main([
+        "--data_module_name=Carla2D3D", "--batch_size=4", "--clip_length=4",
+        "--val_set_size=4", "--test_set_size=4", "--max_epochs=1",
+        "--limit_train_batches=2", "--movements_model_name=LinearAE2D",
+        "--classification_model_name=LSTM", f"--root_dir={tmp_path}",
+    ])
+    assert "val_metrics" in results
+    assert "val/Accuracy" in results["val_metrics"]
