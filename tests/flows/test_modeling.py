@@ -368,3 +368,20 @@ def test_classification_finetuning_chain(tmp_path):
     ])
     assert "val_metrics" in results
     assert "val/Accuracy" in results["val_metrics"]
+
+
+def test_replacement_metric_flow_chain(tmp_path):
+    """Three-stage replacement metric (reference
+    ``replacement_metric_flow.py:43-``): train model one, predict with it,
+    train model two on the predictions, cross-evaluate."""
+    from pedestrians_video_2_carla_tpu.replacement_metric_flow import \
+        main as rmf_main
+
+    results = rmf_main([
+        "--data_module_name=Carla2D3D", "--batch_size=4", "--clip_length=4",
+        "--val_set_size=4", "--test_set_size=4", "--max_epochs=1",
+        "--limit_train_batches=2", "--movements_model_name=LinearAE2D",
+        f"--root_dir={tmp_path}",
+    ])
+    assert {"model_one", "model_two_on_predictions",
+            "cross_eval"} <= set(results)
