@@ -385,3 +385,19 @@ def test_replacement_metric_flow_chain(tmp_path):
     ])
     assert {"model_one", "model_two_on_predictions",
             "cross_eval"} <= set(results)
+
+
+def test_separated_classification_chain(tmp_path):
+    """A/B/C classifier comparison (reference
+    ``separated_classification.py:41-``): raw-noisy vs AE-denoised vs clean
+    data classification."""
+    from pedestrians_video_2_carla_tpu.separated_classification import \
+        main as sc_main
+
+    results = sc_main([
+        "--data_module_name=Carla2D3D", "--batch_size=4", "--clip_length=4",
+        "--val_set_size=4", "--test_set_size=4", "--max_epochs=1",
+        "--limit_train_batches=2", "--movements_model_name=LinearAE2D",
+        "--classification_model_name=LSTM", f"--root_dir={tmp_path}",
+    ])
+    assert {"raw_noisy", "ae_denoised", "clean"} <= set(results)
