@@ -401,3 +401,17 @@ def test_separated_classification_chain(tmp_path):
         "--classification_model_name=LSTM", f"--root_dir={tmp_path}",
     ])
     assert {"raw_noisy", "ae_denoised", "clean"} <= set(results)
+
+
+def test_classification_bf16_precision():
+    """--precision bf16 in the classification flow: finite loss, fp32 params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    results = _run("--flow=classification", "--classification_model_name=GRU",
+                   "--precision", "bf16")
+    state = results["trainer"].state
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert leaves and all(l.dtype == jnp.float32 for l in leaves)
+    assert np.isfinite(results["val_metrics"]["val_loss/primary"])
