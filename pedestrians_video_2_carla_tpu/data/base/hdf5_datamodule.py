@@ -243,10 +243,16 @@ class Hdf5DataModule(BaseDataModule):
             else:
                 batch_targets = {k: v[idx] for k, v in targets.items()}
             batch_targets.update(proc_targets)
-            # only numeric meta crosses the host->device boundary
-            batch_meta = {k: v[idx] for k, v in meta.items()
-                          if isinstance(v, np.ndarray)
-                          and v.dtype.kind in "biuf"}
+            # only numeric meta crosses the host->device boundary; host-side
+            # batch consumers (the video mixin needs video_id to decode clip
+            # frames) opt in to string meta and strip it before the device
+            if getattr(self, "_keep_string_meta", False):
+                batch_meta = {k: v[idx] for k, v in meta.items()
+                              if isinstance(v, np.ndarray)}
+            else:
+                batch_meta = {k: v[idx] for k, v in meta.items()
+                              if isinstance(v, np.ndarray)
+                              and v.dtype.kind in "biuf"}
             yield inputs, batch_targets, batch_meta
 
     def train_batches(self, seed: int = 0) -> Iterator:

@@ -79,9 +79,16 @@ class VideoDataModuleMixin:
         self.needs_heatmaps = needs_heatmaps
         self.heatmaps_sigma = heatmaps_sigma
         self.heatmaps_stride = heatmaps_stride
+        #: the base iterator must keep string meta (video_id) so frames can
+        #: be decoded host-side; it is stripped again before yielding
+        self._keep_string_meta = True
 
     def _video_path(self, video_id: str) -> str:
-        return os.path.join(self.source_videos_dir, f"{video_id}.mp4")
+        # CarlaRecorded's camera.recording already carries the extension;
+        # JAAD-style ids do not
+        name = video_id if video_id.lower().endswith(
+            (".mp4", ".avi", ".mov", ".mkv")) else f"{video_id}.mp4"
+        return os.path.join(self.source_videos_dir, name)
 
     def _with_video_inputs(self, batches: Iterator) -> Iterator:
         for inputs, targets, meta in batches:
@@ -123,7 +130,11 @@ class VideoDataModuleMixin:
                     jnp.asarray(kp * scale), (w, h),
                     self.heatmaps_sigma))
                 new_targets["heatmaps"] = hm
-            yield video_inputs, new_targets, meta
+            # strip string meta again: only numeric meta may reach the device
+            numeric_meta = {k: v for k, v in meta.items()
+                            if isinstance(v, np.ndarray)
+                            and v.dtype.kind in "biuf"}
+            yield video_inputs, new_targets, numeric_meta
 
     def train_batches(self, seed: int = 0):
         return self._with_video_inputs(super().train_batches(seed))

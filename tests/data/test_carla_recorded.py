@@ -159,3 +159,48 @@ def test_benchmark_variant_tte_window(carla_csv, tmp_path):
             assert "crossing" in meta
             found = True
     assert found
+
+
+def test_video_datamodule_feeds_pose_estimation_flow(carla_csv, tmp_path):
+    """CarlaRecordedVideo end-to-end: synthesized mp4s next to data.csv ->
+    decoded clip frames as inputs -> one pose-estimation training step
+    (reference ``carla_recorded_video_datamodule.py`` + UniPose video path;
+    the Linear regressor keeps the test CPU-cheap)."""
+    import cv2
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import \
+        CarlaRecordedVideoDataModule
+    from pedestrians_video_2_carla_tpu.flows.pose_estimation import \
+        PoseEstimationFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.pose_estimation import \
+        POSE_ESTIMATION_MODELS
+
+    vdir = os.path.join(carla_csv, "default")
+    for vid in range(N_VIDEOS):
+        writer = cv2.VideoWriter(
+            os.path.join(vdir, f"video_{vid:02d}.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+        for f in range(N_FRAMES):
+            writer.write(np.full((48, 64, 3), (f * 5) % 255, np.uint8))
+        writer.release()
+
+    dm = _make_dm(carla_csv, tmp_path, cls=CarlaRecordedVideoDataModule,
+                  video_size=(32, 32), crop_to_bbox=False)
+    dm.prepare_data()
+    dm.setup("train")
+    batch = next(iter(dm.train_batches(0)))
+    inputs, targets, meta = batch
+    assert np.asarray(inputs).shape[2:] == (32, 32, 3)
+    assert "projection_2d" in targets
+
+    flow = PoseEstimationFlow(
+        movements_model=POSE_ESTIMATION_MODELS["Linear"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-3), transform="none")
+    state = flow.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(flow.training_step)
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["train_loss/primary"]))
