@@ -161,12 +161,25 @@ def test_benchmark_variant_tte_window(carla_csv, tmp_path):
     assert found
 
 
+def _write_mp4s(vdir):
+    import cv2
+
+    for vid in range(N_VIDEOS):
+        path = os.path.join(vdir, f"video_{vid:02d}.mp4")
+        if os.path.exists(path):
+            continue
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 30, (64, 48))
+        for f in range(N_FRAMES):
+            writer.write(np.full((48, 64, 3), (f * 5) % 255, np.uint8))
+        writer.release()
+
+
 def test_video_datamodule_feeds_pose_estimation_flow(carla_csv, tmp_path):
     """CarlaRecordedVideo end-to-end: synthesized mp4s next to data.csv ->
     decoded clip frames as inputs -> one pose-estimation training step
     (reference ``carla_recorded_video_datamodule.py`` + UniPose video path;
     the Linear regressor keeps the test CPU-cheap)."""
-    import cv2
     import jax
 
     from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import \
@@ -178,14 +191,7 @@ def test_video_datamodule_feeds_pose_estimation_flow(carla_csv, tmp_path):
     from pedestrians_video_2_carla_tpu.models.pose_estimation import \
         POSE_ESTIMATION_MODELS
 
-    vdir = os.path.join(carla_csv, "default")
-    for vid in range(N_VIDEOS):
-        writer = cv2.VideoWriter(
-            os.path.join(vdir, f"video_{vid:02d}.mp4"),
-            cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
-        for f in range(N_FRAMES):
-            writer.write(np.full((48, 64, 3), (f * 5) % 255, np.uint8))
-        writer.release()
+    _write_mp4s(os.path.join(carla_csv, "default"))
 
     dm = _make_dm(carla_csv, tmp_path, cls=CarlaRecordedVideoDataModule,
                   video_size=(32, 32), crop_to_bbox=False)
@@ -204,3 +210,23 @@ def test_video_datamodule_feeds_pose_estimation_flow(carla_csv, tmp_path):
     step = jax.jit(flow.training_step)
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["train_loss/primary"]))
+
+
+def test_video_datamodule_heatmap_targets(carla_csv, tmp_path):
+    """needs_heatmaps=True: gaussian per-joint heatmaps at video_size/stride
+    (reference ``video_mixin.py:186-225``)."""
+    from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import \
+        CarlaRecordedVideoDataModule
+
+    _write_mp4s(os.path.join(carla_csv, "default"))
+    dm = _make_dm(carla_csv, tmp_path / "hm", cls=CarlaRecordedVideoDataModule,
+                  video_size=(32, 32), crop_to_bbox=False,
+                  needs_heatmaps=True, heatmaps_stride=8)
+    dm.prepare_data()
+    dm.setup("train")
+    inputs, targets, meta = next(iter(dm.train_batches(0)))
+    hm = np.asarray(targets["heatmaps"])
+    assert hm.shape[2:] == (27, 4, 4)  # (J + background, H/s, W/s)
+    assert hm.max() <= 1.0 + 1e-5 and hm.max() > 0.1
+    # no string meta leaks to the device path
+    assert all(np.asarray(v).dtype.kind in "biuf" for v in meta.values())
