@@ -15,12 +15,19 @@ scattered back to their frame positions.
 
 ``PoseFormerRot`` is the 6D-rotations variant (``pose_former_rot.py``)."""
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import rotation_6d_to_matrix
 from .common import MovementsModel
+
+#: torch nn.LayerNorm default eps (flax defaults to 1e-6; the reference's
+#: timm-style blocks use torch's 1e-5 — the difference is visible at 1e-4
+#: weight-import parity)
+_LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
 
 
 class _Mlp(nn.Module):
@@ -47,12 +54,12 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        y = nn.LayerNorm()(x)
+        y = _LayerNorm()(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim,
             dropout_rate=self.attn_drop, deterministic=not training)(y, y)
         x = x + nn.Dropout(self.drop, deterministic=not training)(y)
-        y = nn.LayerNorm()(x)
+        y = _LayerNorm()(x)
         y = _Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop)(
             y, training)
         return x + y
@@ -117,7 +124,7 @@ class PoseFormer(MovementsModel):
             s = Block(emb, self.num_heads, self.mlp_ratio, self.drop_rate,
                       self.attn_drop_rate, name=f"spatial_block_{i}")(
                 s, training)
-        s = nn.LayerNorm(name="spatial_norm")(s)
+        s = _LayerNorm(name="spatial_norm")(s)
 
         # gather per-frame embeddings into sliding windows for the temporal
         # transformer: frames as tokens
@@ -131,7 +138,7 @@ class PoseFormer(MovementsModel):
             t = Block(frame_dim, self.num_heads, self.mlp_ratio,
                       self.drop_rate, self.attn_drop_rate,
                       name=f"temporal_block_{i}")(t, training)
-        t = nn.LayerNorm(name="temporal_norm")(t)
+        t = _LayerNorm(name="temporal_norm")(t)
 
         # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1, 1),
         # including its scalar bias for checkpoint compatibility)
@@ -140,7 +147,7 @@ class PoseFormer(MovementsModel):
         pooled = jnp.einsum("nfd,f->nd", t, w) + w_b  # (BW, frame_dim)
 
         out = nn.Dense(J * self._out_features, name="head")(
-            nn.LayerNorm(name="head_norm")(pooled))
+            _LayerNorm(name="head_norm")(pooled))
         out = out.reshape(B, W, J, self._out_features)
 
         # scatter window-center predictions to their frame positions; edge

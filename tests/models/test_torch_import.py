@@ -162,8 +162,7 @@ def test_video_pose_3d_import(rng):
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-3)
 
 
-def test_pose_former_import(rng):
-    emb, heads, depth, rf = 8, 2, 1, 3
+def _build_mini_poseformer(emb, heads, depth, rf):
     frame_dim = J * emb
 
     class Mlp(nn.Module):
@@ -238,7 +237,12 @@ def test_pose_former_import(rng):
             t = self.weighted_mean(t)
             return self.head(t.squeeze(1)).view(b, 1, J, 3)
 
-    tm = PoseTransformer().eval()
+    return PoseTransformer().eval()
+
+
+def test_pose_former_import(rng):
+    emb, heads, depth, rf = 8, 2, 1, 3
+    tm = _build_mini_poseformer(emb, heads, depth, rf)
     x = rng.normal(size=(B, rf, J, 2)).astype(np.float32)
     with torch.no_grad():
         expected = tm(torch.from_numpy(x)).numpy()
@@ -257,3 +261,37 @@ def test_pose_former_import(rng):
                                expected[:, 0], atol=1e-4)
 
 
+
+
+def test_pose_former_import_multi_window(rng):
+    """Multi-window parity: the reference slides the transformer over every
+    rf-frame window and writes center-frame predictions
+    (``pose_former.py:113-127``); our implementation dedups the spatial
+    stage across overlapping windows and scatters the centers — outputs
+    must match the torch sliding-window loop exactly."""
+    emb, heads, depth, rf, L = 8, 2, 1, 3, 7
+
+    # rebuild the same torch mini-PoseTransformer used by the single-window
+    # test by calling it again at rf and sliding it manually over the clip
+    torch_mod = _build_mini_poseformer(emb, heads, depth, rf)
+    x = rng.normal(size=(B, L, J, 2)).astype(np.float32)
+    W = L - rf + 1
+    shift = rf // 2
+    expected = np.zeros((B, L, J, 3), np.float32)
+    with torch.no_grad():
+        for s in range(W):
+            win = torch.from_numpy(x[:, s:s + rf])
+            expected[:, s + shift] = torch_mod(win).numpy()[:, 0]
+
+    fm = MOVEMENTS_MODELS["PoseFormer"](
+        clip_length=L, receptive_frames=rf,
+        single_joint_embeddings_size=emb, depth=depth, num_heads=heads,
+        drop_rate=0.0, attn_drop_rate=0.0)
+    params = import_pose_former(_sd(torch_mod), depth=depth, num_heads=heads)
+    out = fm.apply({"params": params}, jnp.asarray(x), training=False,
+                   rngs={"dropout": jax.random.PRNGKey(0)})
+    out = np.asarray(out)
+    # edge frames outside window coverage stay zero
+    assert np.all(out[:, :shift] == 0) and np.all(out[:, shift + W:] == 0)
+    np.testing.assert_allclose(out[:, shift:shift + W],
+                               expected[:, shift:shift + W], atol=1e-4)
