@@ -1,6 +1,7 @@
 """SimpleTransformer: 6-layer post-norm transformer encoder over frames with
 d_model = J * features (reference ``modules/movements/transformers.py:7-54``,
-torch ``nn.TransformerEncoder`` defaults: 4 heads, ffn 2048, post-LN, ReLU)."""
+torch ``nn.TransformerEncoder`` defaults: 4 heads, ffn 2048, post-LN, ReLU,
+LayerNorm eps 1e-5)."""
 import flax.linen as nn
 
 from ...flows.output_types import MovementsModelOutputType
@@ -19,13 +20,13 @@ class _EncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, qkv_features=self.d_model,
             dropout_rate=self.dropout, deterministic=not training)(x, x)
-        x = nn.LayerNorm()(x + nn.Dropout(
+        x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(
             self.dropout, deterministic=not training)(attn))
         ff = nn.Dense(self.dim_feedforward)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=not training)(ff)
         ff = nn.Dense(self.d_model)(ff)
-        return nn.LayerNorm()(x + nn.Dropout(
+        return nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(
             self.dropout, deterministic=not training)(ff))
 
 
