@@ -70,6 +70,10 @@ def add_trainer_args(parser: argparse.ArgumentParser):
                             "Lightning Trainer flag equivalent")
     group.add_argument("--num_devices", type=int, default=None,
                        help="data-parallel mesh size (default: all devices)")
+    group.add_argument("--model_devices", type=int, default=1,
+                       help="tensor-parallel mesh axis size; large dense "
+                            "kernels are sharded over it (default 1 = pure "
+                            "data parallel, the reference's DDP equivalent)")
     return parser
 
 
@@ -389,7 +393,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         log_every_n_steps=args.log_every_n_steps,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         seed=args.seed,
-        mesh=MeshConfig(data_axis_size=args.num_devices),
+        mesh=MeshConfig(data_axis_size=args.num_devices,
+                        model_axis_size=args.model_devices),
         logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
         run_name=run_name,
     )

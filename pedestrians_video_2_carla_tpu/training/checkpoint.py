@@ -28,13 +28,18 @@ def _load_pytree(path: str, like: Any) -> Any:
 
 class CheckpointManager:
     def __init__(self, dirpath: str, monitor: str = "val_loss/primary",
-                 mode: str = "min", save_top_k: int = 1):
+                 mode: str = "min", save_top_k: int = 1,
+                 enabled: bool = True):
+        #: ``enabled=False`` on non-zero hosts (rank-zero guard; the reference
+        #: relies on Lightning's rank-zero ModelCheckpoint behavior)
+        self.enabled = enabled
         self.dirpath = dirpath
         self.monitor = monitor
         self.mode = mode
         self.best_value: Optional[float] = None
         self.best_path: Optional[str] = None
-        os.makedirs(dirpath, exist_ok=True)
+        if enabled:
+            os.makedirs(dirpath, exist_ok=True)
 
     def _is_better(self, value: float) -> bool:
         if self.best_value is None:
@@ -43,6 +48,8 @@ class CheckpointManager:
             else value > self.best_value
 
     def maybe_save(self, state, metrics: Dict[str, float], step: int) -> bool:
+        if not self.enabled:
+            return False
         value = metrics.get(self.monitor)
         if value is None or not self._is_better(value):
             return False
@@ -58,7 +65,8 @@ class CheckpointManager:
 
     def save_last(self, state, step: int) -> str:
         path = os.path.join(self.dirpath, "last")
-        _save_pytree(path, state)
+        if self.enabled:
+            _save_pytree(path, state)
         return path
 
     def restore(self, like_state, path: Optional[str] = None):
@@ -68,12 +76,33 @@ class CheckpointManager:
         return _load_pytree(path, like_state)
 
 
-def resolve_ckpt_path(path: str) -> str:
-    """Resolve ``file://`` scheme paths (reference ``utils/paths.py:24-32``;
-    the ``wandb://`` scheme needs network access and is not supported here)."""
+def resolve_ckpt_path(path: str, search_root: str = "outputs") -> str:
+    """Resolve ``file://`` and ``wandb://`` scheme paths (reference
+    ``utils/paths.py:24-32``). The reference's ``wandb://entity/project/run``
+    downloads a W&B artifact; in this zero-egress environment it degrades to
+    a *local* artifact lookup: the trailing run component (``run_id`` or
+    ``run_id:version``) is matched against run directories under
+    ``search_root`` (or ``$WANDB_ARTIFACTS_DIR``) and the newest checkpoint
+    inside its ``checkpoints/`` dir is returned."""
     if path.startswith("file://"):
         return path[len("file://"):]
     if path.startswith("wandb://"):
-        raise NotImplementedError(
-            "wandb:// checkpoint resolution requires network access")
+        import glob
+
+        run = path[len("wandb://"):].rstrip("/").split("/")[-1]
+        run = run.split(":")[0]  # strip artifact version
+        root = os.environ.get("WANDB_ARTIFACTS_DIR", search_root)
+        hits = sorted(
+            glob.glob(os.path.join(root, "**", run, "checkpoints", "*.npz"),
+                      recursive=True),
+            key=os.path.getmtime)
+        # prefer the monitored-best checkpoint over 'last' when both exist
+        best = [h for h in hits if os.path.basename(h).startswith("best")]
+        if best:
+            return (best[-1])[:-len(".npz")]
+        if hits:
+            return (hits[-1])[:-len(".npz")]
+        raise FileNotFoundError(
+            f"no local checkpoint for {path!r} under {root!r} "
+            f"(looked for **/{run}/checkpoints/*.npz)")
     return path

@@ -8,11 +8,17 @@ from typing import Any, Dict
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, enabled: bool = True):
+        #: ``enabled=False`` on non-zero hosts: multi-host runs must not race
+        #: on the shared log files (reference: Lightning rank_zero_only)
+        self.enabled = enabled
         self.log_dir = log_dir
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=os.path.join(log_dir, "tb"))
@@ -20,6 +26,8 @@ class MetricsLogger:
             pass
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        if not self.enabled:
+            return
         record = {"step": step, "time": time.time(), **scalars}
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
@@ -29,6 +37,8 @@ class MetricsLogger:
                     self._tb.add_scalar(k, v, step)
 
     def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        if not self.enabled:
+            return
         path = os.path.join(self.log_dir, "hparams.json")
         existing = {}
         if os.path.exists(path):
@@ -39,7 +49,8 @@ class MetricsLogger:
             json.dump(existing, f, indent=1)
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 

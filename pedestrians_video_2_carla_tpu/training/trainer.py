@@ -18,7 +18,8 @@ import jax
 import numpy as np
 
 from ..flows.base import BaseFlow, FlowState
-from ..parallel.mesh import MeshConfig, make_mesh, replicate, shard_batch
+from ..parallel.mesh import (MeshConfig, constrain_batch, make_mesh,
+                             shard_batch, shard_state, state_shardings)
 from .checkpoint import CheckpointManager
 from .loggers import MetricsLogger
 
@@ -52,33 +53,55 @@ class Trainer:
         #: as a second Lightning logger, ``flow/base.py:489-510``)
         self.video_logger = video_logger
 
+        #: rank-zero guard: only the first host writes checkpoints/logs
+        #: (reference relies on Lightning's rank_zero_only decorators,
+        #: ``flow/base.py:226``)
+        self.is_main_process = jax.process_index() == 0
         self.log_dir = os.path.join(config.logs_dir, config.run_name)
-        os.makedirs(self.log_dir, exist_ok=True)
-        self.logger = MetricsLogger(self.log_dir)
+        if self.is_main_process:
+            os.makedirs(self.log_dir, exist_ok=True)
+        self.logger = MetricsLogger(self.log_dir,
+                                    enabled=self.is_main_process)
         self.checkpoints = CheckpointManager(
             os.path.join(self.log_dir, "checkpoints"),
-            monitor=config.monitor, mode=config.monitor_mode)
+            monitor=config.monitor, mode=config.monitor_mode,
+            enabled=self.is_main_process)
 
         self._train_step = None
         self._eval_step = None
         self._metric_update = None
+        self._loss_add = None
 
     # ------------------------------------------------------------------
     def _build_steps(self):
+        """Jit the pure flow steps over the mesh with *persistent* state
+        shardings: params/opt-state enter AND leave with the tensor-parallel
+        layout from ``parallel.mesh.state_shardings`` (out_shardings pins it,
+        so XLA cannot re-gather between steps) and the batch layout is pinned
+        in-jit via ``with_sharding_constraint``."""
         flow = self.flow
+        mesh = self.mesh
+        sshard = state_shardings(mesh, self.state) \
+            if self.state is not None else None
 
         def train_step(state, batch, rng):
-            return flow.training_step(state, batch, rng)
+            return flow.training_step(state, constrain_batch(mesh, batch),
+                                      rng)
 
         def eval_step(state, batch):
-            return flow.eval_step(state, batch)
+            return flow.eval_step(state, constrain_batch(mesh, batch))
 
         def metric_update(mstate, preds, targets):
             return flow.metrics.update(mstate, preds, targets)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            train_step, donate_argnums=(0,),
+            out_shardings=(sshard, None) if sshard is not None else None)
         self._eval_step = jax.jit(eval_step)
         self._metric_update = jax.jit(metric_update)
+        import jax.numpy as jnp
+        self._loss_add = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
     def _init_state(self):
         first = next(iter(self.dm.val_batches()), None)
@@ -87,7 +110,7 @@ class Trainer:
         if self.state is None:  # keep a state restored via --ckpt_path
             key = jax.random.PRNGKey(self.config.seed)
             state = self.flow.init_state(key, first)
-            self.state = replicate(self.mesh, state)
+            self.state = shard_state(self.mesh, state)
         return first
 
     def _resolve_train_batches(self) -> Optional[int]:
@@ -103,7 +126,7 @@ class Trainer:
         sample = self._init_state()
         self._build_steps()
 
-        if not self.config.skip_initial_metrics and jax.process_index() == 0:
+        if not self.config.skip_initial_metrics and self.is_main_process:
             initial = self._initial_metrics()
             self.logger.log_hparams({**self.dm.hparams, **initial})
 
@@ -125,22 +148,27 @@ class Trainer:
                 from ..runtime.prefetcher import DevicePrefetcher
                 train_iter = DevicePrefetcher(
                     train_iter, put_fn=lambda b: shard_batch(self.mesh, b))
-                losses = []
+                # keep only the most recent step's device logs (retaining
+                # every step's logs for a whole epoch pins device memory) and
+                # sync to host only at the throttled log interval
+                last_logs = None
                 for batch_idx, batch in enumerate(train_iter):
                     self.state, logs = self._train_step(
                         self.state, batch, rng)
                     global_step += 1
-                    losses.append(logs)
+                    last_logs = logs
                     if global_step % self.config.log_every_n_steps == 0:
+                        host_logs = jax.device_get(logs)
                         self.logger.log_scalars(
                             global_step,
-                            {k: float(v) for k, v in logs.items()})
+                            {k: float(v) for k, v in host_logs.items()})
 
                 epoch_time = time.perf_counter() - epoch_start
                 summary = {"epoch": epoch, "epoch_time_s": epoch_time}
-                if losses:
-                    last = {k: float(v) for k, v in losses[-1].items()}
-                    summary.update(last)
+                if last_logs is not None:
+                    host_logs = jax.device_get(last_logs)
+                    summary.update(
+                        {k: float(v) for k, v in host_logs.items()})
 
                 if (epoch + 1) % self.config.check_val_every_n_epoch == 0:
                     val_metrics = self.evaluate(
@@ -165,7 +193,9 @@ class Trainer:
         batches = self.dm.val_batches() if stage == "val" \
             else self.dm.test_batches()
         mstate = self.flow.metrics.init_state()
-        loss_sums: Dict[str, float] = {}
+        # losses accumulate ON DEVICE (one jnp.add tree per batch); the host
+        # syncs exactly once per eval pass instead of once per loss per batch
+        loss_sums = None
         count = 0
         with self.mesh:
             for batch_idx, batch in enumerate(batches):
@@ -175,7 +205,11 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
                 loss_dict, preds, targets = self._eval_step(self.state, batch)
                 mstate = self._metric_update(mstate, preds, targets)
-                if batch_idx == 0 and self.video_logger is not None:
+                loss_sums = loss_dict if loss_sums is None \
+                    else self._loss_add(loss_sums, loss_dict)
+                count += 1
+                if batch_idx == 0 and self.video_logger is not None \
+                        and self.is_main_process:
                     try:
                         self.video_logger.log_videos(
                             inputs=np.asarray(batch[0]),
@@ -192,14 +226,12 @@ class Trainer:
                     except Exception as e:  # rendering must never kill a run
                         import warnings
                         warnings.warn(f"video logging failed: {e}")
-                for k, v in loss_dict.items():
-                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
-                count += 1
 
         results: Dict[str, float] = {}
         if count:
+            loss_sums = jax.device_get(loss_sums)  # the single host sync
             for k, v in loss_sums.items():
-                results[f"{stage}_loss/{k}"] = v / count
+                results[f"{stage}_loss/{k}"] = float(v) / count
             primary = next((f"{stage}_loss/{m.name}"
                             for m in self.flow.requested_loss_modes
                             if f"{stage}_loss/{m.name}" in results), None)
@@ -240,7 +272,7 @@ class Trainer:
         new_mutables = dict(self.state.mutables)
         if batch_stats is not None:
             new_mutables["movements"] = {"batch_stats": batch_stats}
-        self.state = replicate(self.mesh, self.state.replace(
+        self.state = shard_state(self.mesh, self.state.replace(
             params=new_params, mutables=new_mutables))
 
     def restore(self, path: str, weights_only: bool = False):
@@ -255,7 +287,7 @@ class Trainer:
                                             mutables=loaded.mutables)
         else:
             self.state = loaded
-        self.state = replicate(self.mesh, self.state)
+        self.state = shard_state(self.mesh, self.state)
 
     def predict(self, set_name: str = "test") -> List[Any]:
         if self._eval_step is None:
