@@ -144,3 +144,9 @@ class VideoDataModuleMixin:
 
     def test_batches(self):
         return self._with_video_inputs(super().test_batches())
+
+    def predict_batches(self, set_name: str):
+        # _keep_string_meta makes the base iterator emit string video_ids;
+        # route predict through the same wrapper so they are consumed (frames
+        # decoded) and stripped before Trainer.predict's jitted eval step
+        return self._with_video_inputs(super().predict_batches(set_name))

@@ -13,6 +13,13 @@ per-frame embeddings gathered into the L-rf+1 sliding windows and folded into
 the batch axis for the temporal transformer; window-center predictions are
 scattered back to their frame positions.
 
+Intended training-time semantics change from the dedup: spatial-stage dropout
+draws ONE mask per distinct frame, shared by every window that overlaps it,
+whereas the reference drops independently per window instance. Inference
+parity is exact (multi-window torch-parity test in
+``tests/models/test_pose_former.py``); training-parity comparisons should
+expect slightly less dropout noise at equal rates.
+
 ``PoseFormerRot`` is the 6D-rotations variant (``pose_former_rot.py``)."""
 
 import functools

@@ -80,6 +80,13 @@ class ProjectionModule:
                 raise RuntimeError(
                     f"{mot.name} input must be (B, L, J, 3, 3) "
                     "rotation matrices")
+            if pose_inputs.shape[2] != state.rel_loc.shape[1]:
+                # validate bone count up front: the CARLA-schedule gathers in
+                # fk_planes clamp out-of-bounds indices silently under jit,
+                # so a wrong J would produce garbage instead of raising
+                raise RuntimeError(
+                    f"{mot.name} input has {pose_inputs.shape[2]} joints, "
+                    f"skeleton has {state.rel_loc.shape[1]}")
             B, clip_length = pose_inputs.shape[:2]
             if mot == MovementsModelOutputType.pose_changes:
                 rel9 = K.accumulate9(

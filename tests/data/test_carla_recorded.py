@@ -230,3 +230,21 @@ def test_video_datamodule_heatmap_targets(carla_csv, tmp_path):
     assert hm.max() <= 1.0 + 1e-5 and hm.max() > 0.1
     # no string meta leaks to the device path
     assert all(np.asarray(v).dtype.kind in "biuf" for v in meta.values())
+
+
+def test_video_datamodule_predict_batches_strip_string_meta(carla_csv,
+                                                            tmp_path):
+    """Trainer.predict on a video datamodule: predict_batches must route
+    through the video wrapper so string meta (video_id) is consumed for frame
+    decoding and stripped before the jitted eval step."""
+    from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import \
+        CarlaRecordedVideoDataModule
+
+    _write_mp4s(os.path.join(carla_csv, "default"))
+    dm = _make_dm(carla_csv, tmp_path / "pr", cls=CarlaRecordedVideoDataModule,
+                  video_size=(32, 32), crop_to_bbox=False)
+    dm.prepare_data()
+    dm.setup("train")
+    inputs, targets, meta = next(iter(dm.predict_batches("train")))
+    assert np.asarray(inputs).shape[2:] == (32, 32, 3)  # frames, not poses
+    assert all(np.asarray(v).dtype.kind in "biuf" for v in meta.values())

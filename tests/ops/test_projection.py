@@ -46,6 +46,15 @@ def test_pose_changes_requires_5d(state):
         proj_module(state, jnp.zeros((B, L, J, 3)))
 
 
+def test_wrong_bone_count_raises(state):
+    # the fk_planes gathers clamp out-of-bounds indices silently under jit;
+    # a wrong J must fail loudly at trace time on both fused paths
+    for mot in (MovementsModelOutputType.pose_changes,
+                MovementsModelOutputType.relative_rot):
+        with pytest.raises(RuntimeError, match="joints"):
+            ProjectionModule(mot)(state, eye_batch((B, L, J - 1), 3))
+
+
 def test_relative_rot_matches_pose_changes_identity(state):
     pm_changes = ProjectionModule(MovementsModelOutputType.pose_changes)
     pm_rel = ProjectionModule(MovementsModelOutputType.relative_rot)
