@@ -24,6 +24,10 @@ class PedestrianLogger:
                 self.save_dir, renderers=self.renderers, **self._kwargs)
         return self._writer
 
+    def should_log(self, step: int) -> bool:
+        writer = self.experiment
+        return writer is not None and writer.should_log(step)
+
     def log_videos(self, **kwargs):
         writer = self.experiment
         if writer is None:

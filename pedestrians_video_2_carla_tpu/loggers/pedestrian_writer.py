@@ -137,6 +137,12 @@ class PedestrianWriter:
             writer.write(frame[..., ::-1])  # RGB -> BGR
         writer.release()
 
+    def should_log(self, step: int) -> bool:
+        """True when the training-time throttle admits this step (reference
+        ``pedestrian_writer.py:140-141``) — lets callers skip the extra
+        forward pass that produces the projections to render."""
+        return bool(self.renderers) and step % self._throttle == 0
+
     def log_videos(self, inputs, targets, projections, meta,
                    step: int = 0, batch_idx: int = 0, stage: str = "train",
                    normalized: bool = True, force: bool = False,

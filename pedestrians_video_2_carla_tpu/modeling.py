@@ -452,8 +452,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
 
 def known_name(args) -> str:
-    import time
-    return f"{args.data_module_name}-{time.strftime('%Y%m%d-%H%M%S')}"
+    """Generated run name when ``--run_name`` is absent: a randomname-style
+    ``adjective-noun`` version string (reference ``modeling.py:160-161``),
+    prefixed with the datamodule so runs group naturally on disk."""
+    from .utils.naming import random_run_name
+    return f"{args.data_module_name}-{random_run_name()}"
 
 
 def run():

@@ -162,6 +162,15 @@ class Trainer:
                         self.logger.log_scalars(
                             global_step,
                             {k: float(v) for k, v in host_logs.items()})
+                    # throttled training-time qualitative videos (reference
+                    # ``flow/base.py:489-510`` logs videos during training
+                    # through the PedestrianLogger's step throttle); the
+                    # projections come from one extra eval pass on the
+                    # current train batch, paid only at throttle hits
+                    if self.video_logger is not None \
+                            and self.is_main_process \
+                            and self.video_logger.should_log(global_step):
+                        self._log_train_videos(batch, global_step, batch_idx)
 
                 epoch_time = time.perf_counter() - epoch_start
                 summary = {"epoch": epoch, "epoch_time_s": epoch_time}
@@ -186,6 +195,22 @@ class Trainer:
         if hp:
             self.logger.log_hparams(hp)
         return self.state
+
+    def _log_train_videos(self, batch, global_step: int, batch_idx: int):
+        try:
+            _, preds, targets = self._eval_step(self.state, batch)
+            self.video_logger.log_videos(
+                inputs=np.asarray(batch[0]),
+                targets=jax.tree_util.tree_map(np.asarray, targets),
+                projections=jax.tree_util.tree_map(
+                    np.asarray,
+                    {k: v for k, v in preds.items() if v is not None}),
+                meta=jax.tree_util.tree_map(np.asarray, batch[2]),
+                step=global_step, batch_idx=batch_idx, stage="train",
+                force=True)  # should_log already applied the throttle
+        except Exception as e:  # rendering must never kill a run
+            import warnings
+            warnings.warn(f"train video logging failed: {e}")
 
     # ------------------------------------------------------------------
     def evaluate(self, stage: str = "val",
@@ -239,6 +264,19 @@ class Trainer:
                 results[f"{stage}_loss/primary"] = results[primary]
             computed = self.flow.metrics.compute(mstate)
             results.update(_flatten_metrics(computed, stage))
+            if self.is_main_process:
+                # classification plot artifacts (confusion/ROC/PR PNGs) —
+                # the offline stand-in for the reference's W&B plots
+                # (``classification.py:336-436``); no-op for other flows
+                try:
+                    from .plots import save_classification_plots
+                    save_classification_plots(
+                        jax.tree_util.tree_map(np.asarray, computed),
+                        os.path.join(self.log_dir, "plots"), stage,
+                        int(self.state.step))
+                except Exception as e:  # plotting must never kill a run
+                    import warnings
+                    warnings.warn(f"classification plots failed: {e}")
         return results
 
     def test(self) -> Dict[str, float]:

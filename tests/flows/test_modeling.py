@@ -64,11 +64,42 @@ def test_autoencoder_flow_with_noise():
     assert "val/PCKhn@01" in vm and "val/MSE" in vm
 
 
+def test_random_run_name_generated():
+    """Without --run_name the CLI generates a randomname-style version
+    string (reference ``modeling.py:160-161``)."""
+    import random
+
+    from pedestrians_video_2_carla_tpu.modeling import known_name
+    from pedestrians_video_2_carla_tpu.utils.naming import random_run_name
+
+    name = random_run_name(random.Random(0))
+    assert name == random_run_name(random.Random(0))  # seedable
+    adj, noun = name.split("-")
+    assert adj.isalpha() and noun.isalpha()
+
+    class Args:
+        data_module_name = "Carla2D3D"
+        run_name = None
+
+    assert known_name(Args()).startswith("Carla2D3D-")
+
+
 def test_classification_flow():
+    import glob
+    import os
+
     results = _run("--flow=classification",
                    "--classification_model_name=LSTM")
     vm = results["val_metrics"]
     assert "val/Accuracy" in vm and "val/AUROC" in vm
+    # offline plot artifacts replacing the reference's W&B plots
+    # (``classification.py:336-436``): confusion matrix + ROC + PR PNGs
+    plots = glob.glob(os.path.join(results["trainer"].log_dir,
+                                   "plots", "*.png"))
+    assert any("confusion" in os.path.basename(p) for p in plots)
+    assert any("roc_curve" in os.path.basename(p) for p in plots)
+    assert any("pr_curve" in os.path.basename(p) for p in plots)
+    assert all(os.path.getsize(p) > 0 for p in plots)
 
 
 def test_test_and_predict_modes():
@@ -204,12 +235,18 @@ def test_renderers_write_mp4s(tmp_path):
         f"--root_dir={tmp_path}", "--flow=pose_lifting",
         "--movements_model_name=Linear", "--loss_modes", "loc_2d",
         "--renderers", "input_points", "projection_points",
-        "--max_videos", "2"]
+        "--max_videos", "2",
+        # throttle = log_every_n_steps * reduction = 1 -> every train step
+        # logs videos (reference training-time path, ``flow/base.py:489-510``)
+        "--video_saving_frequency_reduction", "1"]
     results = main(args)
     videos = glob.glob(os.path.join(
         results["trainer"].log_dir, "videos", "**", "*.mp4"), recursive=True)
     assert len(videos) >= 1
     assert all(os.path.getsize(v) > 0 for v in videos)
+    # both eval-time and training-time videos must exist
+    stages = {os.path.basename(v).split("-")[0] for v in videos}
+    assert "train" in stages and "val" in stages
 
 
 def test_torch_checkpoint_import_via_cli(tmp_path):
