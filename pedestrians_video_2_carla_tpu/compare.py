@@ -53,6 +53,18 @@ def main(args: List[str]):
         logs_dir = os.path.join(parsed.root_dir, logs_dir)
     os.makedirs(os.path.join(logs_dir, "stdout"), exist_ok=True)
 
+    pool = ThreadPool(processes=parsed.num_workers)
+    for variant in variants_for(config, parsed.root_dir):
+        pool.apply_async(work, (variant, logs_dir))
+    pool.close()
+    pool.join()
+
+
+def variants_for(config: dict, root_dir: str = ".") -> List[dict]:
+    """Expand a compare YAML into the cartesian product of variant configs
+    (model x compare_params x per-model compare_model grids)."""
+    config = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in config.items()}
     if "movements_model_name" in config.get("compare_params", {}):
         models = config["compare_params"].pop("movements_model_name")
     else:
@@ -60,7 +72,7 @@ def main(args: List[str]):
     config.setdefault("compare_model", {})
     config.setdefault("common_model", {})
 
-    pool = ThreadPool(processes=parsed.num_workers)
+    variants = []
     for model in models:
         model_variants = config["compare_model"].get(model, {})
         common = {**config["common_params"],
@@ -70,12 +82,11 @@ def main(args: List[str]):
         for combo in itertools.product(
                 *model_variants.values(),
                 *config.get("compare_params", {}).values()):
-            variant = {**({"movements_model_name": model} if model else {}),
-                       **common, **dict(zip(keys, combo)),
-                       "root_dir": parsed.root_dir}
-            pool.apply_async(work, (variant, logs_dir))
-    pool.close()
-    pool.join()
+            variants.append(
+                {**({"movements_model_name": model} if model else {}),
+                 **common, **dict(zip(keys, combo)),
+                 "root_dir": root_dir})
+    return variants
 
 
 def run():

@@ -224,6 +224,126 @@ parameters:
     assert len(lines) == 2
 
 
+def test_tpe_bayes_sampler_concentrates():
+    """The local bayes method (TPE) must concentrate late suggestions near
+    the optimum on a known objective — log-uniform numeric + categorical
+    (reference sweeps use ``method: bayes`` via W&B's hosted service,
+    ``configs/sweep/carla-recorded_seq2seq-embeddings.yaml:10-14``)."""
+    import math
+
+    from pedestrians_video_2_carla_tpu.sweep import TPESampler
+
+    params = {
+        "lr": {"min": 0.001, "max": 1.0, "distribution": "log_uniform"},
+        "units": {"values": [16, 32, 64]},
+        "flow": {"value": "autoencoder"},  # fixed params pass through
+    }
+    sampler = TPESampler(params, sign=1.0, seed=0)
+
+    def objective(p):
+        return -abs(math.log(p["lr"]) - math.log(0.01)) \
+            + (1.0 if p["units"] == 32 else 0.0)
+
+    history = []
+    for _ in range(30):
+        t = sampler.suggest(history)
+        assert t["flow"] == "autoencoder"
+        history.append({"params": t, "objective": objective(t)})
+
+    late = history[-10:]
+    lr_err = sorted(abs(math.log(h["params"]["lr"] / 0.01)) for h in late)
+    assert lr_err[len(lr_err) // 2] < 1.5  # median within ~1.5 nats
+    assert sum(1 for h in late if h["params"]["units"] == 32) >= 5
+
+
+def test_sweep_bayes_method_runs_trials(tmp_path):
+    """End-to-end ``method: bayes`` sweep: the TPE path (post-startup) must
+    drive real modeling runs."""
+    from pedestrians_video_2_carla_tpu import sweep as sweep_mod
+
+    config = f"""
+method: bayes
+metric:
+  goal: maximize
+  name: hp/PCKhn@01
+parameters:
+  mode: {{value: train}}
+  flow: {{value: autoencoder}}
+  data_module_name: {{value: Carla2D3D}}
+  movements_model_name: {{value: LinearAE2D}}
+  max_epochs: {{value: 1}}
+  limit_train_batches: {{value: 2}}
+  batch_size: {{value: 4}}
+  clip_length: {{value: 4}}
+  val_set_size: {{value: 4}}
+  test_set_size: {{value: 4}}
+  renderers: {{value: [none]}}
+  root_dir: {{value: {tmp_path}/runs}}
+  lr:
+    min: 0.001
+    max: 0.01
+    distribution: log_uniform
+"""
+    cfg_path = tmp_path / "sweep.yaml"
+    cfg_path.write_text(config)
+    orig = sweep_mod.TPESampler.N_STARTUP
+    sweep_mod.TPESampler.N_STARTUP = 2  # hit the TPE path by trial 3
+    try:
+        best, history = sweep_mod.main([
+            "--config", str(cfg_path), "--count", "3",
+            "--logs_dir", str(tmp_path / "sweep_logs")])
+    finally:
+        sweep_mod.TPESampler.N_STARTUP = orig
+    assert len(history) == 3
+    assert best is not None and best["objective"] is not None
+    assert all(h.get("objective") is not None for h in history)
+
+
+def test_committed_configs_parse_against_cli():
+    """Every committed sweep/compare YAML must expand to argument lists the
+    CLI parser accepts without 'unrecognized arguments' warnings (keeps the
+    config library honest against the flag surface)."""
+    import glob
+    import random
+    import warnings
+
+    import yaml
+
+    from pedestrians_video_2_carla_tpu.compare import (_arg_list,
+                                                       variants_for)
+    from pedestrians_video_2_carla_tpu.modeling import setup_flow
+    from pedestrians_video_2_carla_tpu.sweep import (sample_parameter,
+                                                     trial_args)
+
+    def assert_parses(args, origin):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            setup_flow([str(a) for a in args])
+        bad = [str(w.message) for w in caught
+               if "unrecognized" in str(w.message)]
+        assert not bad, f"{origin}: {bad}"
+
+    rng = random.Random(0)
+    sweeps = glob.glob("configs/sweep/*.yaml")
+    compares = glob.glob("configs/compare/*.yaml")
+    assert len(sweeps) >= 4 and len(compares) >= 2
+    for path in sweeps:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        trial = {k: sample_parameter(v, rng)
+                 for k, v in cfg["parameters"].items()}
+        extra = [str(a) for a in cfg.get("command", [])
+                 if isinstance(a, str) and a.startswith("--")]
+        assert_parses(trial_args(trial, extra), path)
+    for path in compares:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        variants = variants_for(cfg)
+        assert len(variants) >= 2
+        for variant in variants[:3]:
+            assert_parses(_arg_list(variant), path)
+
+
 def test_renderers_write_mp4s(tmp_path):
     """CLI run with renderers produces mp4s in the run's videos dir
     (reference ``tests/test_modeling.py:98-139`` mp4-count assertion)."""
