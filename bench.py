@@ -207,6 +207,70 @@ def bench_secondary_configs():
     return out
 
 
+def bench_host_pipeline(num_clips=16384, batch=BATCH, epochs=3):
+    """Streaming-epoch throughput with the HOST PIPELINE in the measured
+    path: HDF5 subset on disk -> C++ native batch gather -> jit
+    preprocessing graph -> DevicePrefetcher -> train step. The headline
+    number reuses one resident device batch, so it says nothing about
+    feeding the chip at rate; this one does (reference streams every batch
+    through torch DataLoader workers, ``base_datamodule.py:568-608``)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.runtime.prefetcher import \
+        DevicePrefetcher
+
+    tmp = tempfile.mkdtemp(prefix="pv2c_bench_subsets_")
+    try:
+        host_rng = np.random.default_rng(0)
+        proj = (host_rng.standard_normal(
+            (num_clips, CLIP, 26, 2)).astype(np.float32) * 60.0
+            + np.asarray([400.0, 450.0], np.float32))
+        save_subset(os.path.join(tmp, "train.hdf5"), proj, {},
+                    {"age": ["adult"] * num_clips,
+                     "gender": ["female"] * num_clips})
+        dm = SubsetsDataModule(subsets_dir=tmp, batch_size=batch,
+                               clip_length=CLIP, transform="hips_neck")
+        dm.prepare_data()
+        dm.setup()
+
+        flow = PoseLiftingFlow(
+            movements_model=MOVEMENTS_MODELS["LinearAE"](),
+            loss_modes=[LossModes.loc_2d],
+            movements_optimizer=OptimizerSettings(lr=1e-3))
+        state = flow.init_state(jax.random.PRNGKey(1),
+                                next(iter(dm.train_batches(0))))
+        train_step = jax.jit(flow.training_step, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(2)
+
+        def run_epoch(seed):
+            nonlocal state
+            n = 0
+            logs = None
+            for b in DevicePrefetcher(dm.train_batches(seed)):
+                state, logs = train_step(state, b, rng)
+                n += batch
+            jax.block_until_ready(logs)
+            return n
+
+        run_epoch(0)  # warmup: compile + native cache/page warm
+        t0 = time.perf_counter()
+        total = sum(run_epoch(e + 1) for e in range(epochs))
+        return total / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_cpu_reference_fk():
     """CPU reference for the FK+projection path: torch, per-frame Python loop
     over the clip with a recursive 26-bone tree traversal and per-frame camera
@@ -280,8 +344,14 @@ def main():
         vs_baseline = cpu_fk_us / fk_us
     except Exception:
         cpu_fk_us, vs_baseline = None, None
-    secondary = {} if os.environ.get("BENCH_HEADLINE_ONLY") \
-        else bench_secondary_configs()
+    secondary = {}
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        secondary = bench_secondary_configs()
+        try:
+            secondary["host_pipeline_stream_clips_per_sec"] = round(
+                bench_host_pipeline(), 2)
+        except Exception as e:
+            secondary["host_pipeline_error"] = repr(e)[:120]
     print(json.dumps({
         "metric": "pose_lifting_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),

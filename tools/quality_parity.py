@@ -1,0 +1,483 @@
+#!/usr/bin/env python
+"""Quality-parity study: torch replicas of the reference architectures
+trained on IDENTICAL synthetic data as the JAX rebuild, comparing
+training-outcome metrics (val MPJPE / PCKhn@01 / MSE) after equal epochs.
+
+The full reference framework is not importable here (pytorch_lightning /
+pytorch3d are absent), so the torch side re-creates the reference's exact
+training semantics from its architecture specs: the LinearAE 6D-rotation
+MLP (reference ``linear_ae.py:5-59``) through pose-changes accumulation ->
+FK (``p3d_pose.py:151-184``) -> pinhole projection
+(``p3d_pose_projection.py:115-152``) -> hips-neck-normalized MSE
+(``loss/loc_2d.py:69-89``), and the Seq2SeqEmbeddings 2D autoencoder
+(``seq2seq_embeddings.py``). Both sides share the optimizer (AdamW, same lr/
+weight decay), batch schedule, and the same pre-generated dataset, so the
+only differences are framework numerics and weight init draws.
+
+Usage:
+    python tools/quality_parity.py --config all --epochs 30
+Writes docs/quality_parity.json and prints a markdown table.
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+J = 26
+LR = 1e-3
+WEIGHT_DECAY = 1e-8  # models/base.py OptimizerSettings default
+
+
+# ---------------------------------------------------------------------------
+# dataset: identical numpy batches for both frameworks
+# ---------------------------------------------------------------------------
+def make_dataset(n_train, n_val, batch_size, clip_length, seed=22742):
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+
+    cfg = Carla2D3DConfig(batch_size=batch_size, clip_length=clip_length,
+                          transform="hips_neck")
+    key = jax.random.PRNGKey(seed)
+
+    def to_np(b):
+        return jax.tree_util.tree_map(np.asarray, b)
+
+    train = [to_np(generate_batch(jax.random.fold_in(key, i), cfg))
+             for i in range(n_train)]
+    val = [to_np(generate_batch(jax.random.fold_in(key, 10_000 + i), cfg))
+           for i in range(n_val)]
+    return train, val
+
+
+# ---------------------------------------------------------------------------
+# torch geometry: the reference's pose-changes -> FK -> projection pipeline
+# ---------------------------------------------------------------------------
+def _torch_geometry():
+    import torch
+
+    from pedestrians_video_2_carla_tpu.ops.camera import make_camera
+    from pedestrians_video_2_carla_tpu.skeletons.carla import (
+        CARLA_SKELETON, PARENTS, reference_poses_tensor)
+
+    locs, rots = reference_poses_tensor()  # (4, 26, 3), (4, 26, 3, 3)
+    cam = make_camera()
+    camR = torch.tensor(np.asarray(cam.R), dtype=torch.float32)
+    camT = torch.tensor(np.asarray(cam.T), dtype=torch.float32)
+    fx, fy = cam.focal
+    px, py = cam.principal
+    w, h = cam.image_size
+    hips_idx = tuple(CARLA_SKELETON.get_hips_indices())
+    neck_idx = tuple(CARLA_SKELETON.get_neck_indices())
+
+    # topological order: parents strictly before children
+    order, seen = [], set()
+    pending = list(range(J))
+    while pending:
+        for j in list(pending):
+            if PARENTS[j] < 0 or PARENTS[j] in seen:
+                order.append(j)
+                seen.add(j)
+                pending.remove(j)
+    ref_locs = torch.tensor(locs, dtype=torch.float32)
+    ref_rots = torch.tensor(rots, dtype=torch.float32)
+
+    def rot6d_to_matrix(d6):
+        """Zhou et al. 6D -> matrix; same Gram-Schmidt + eps as
+        ops/rotations.py::rotation_6d_to_matrix."""
+        a1, a2 = d6[..., :3], d6[..., 3:]
+
+        def safe_normalize(v):
+            return v * torch.rsqrt(
+                (v * v).sum(-1, keepdim=True) + 1e-12)
+
+        b1 = safe_normalize(a1)
+        b2 = safe_normalize(a2 - (b1 * a2).sum(-1, keepdim=True) * b1)
+        b3 = torch.cross(b1, b2, dim=-1)
+        return torch.stack([b1, b2, b3], dim=-2)
+
+    def forward_chain(pose_changes, age_gender_idx):
+        """(B, L, J, 3, 3) changes + (B,) skeleton idx -> (abs_loc, screen_2d).
+
+        rel_t = C_t @ rel_{t-1} (row-vector, reference ``p3d_pose.py:98-114``),
+        abs = FK over the bone tree, screen = mock-CARLA pinhole."""
+        B, L = pose_changes.shape[:2]
+        rel_loc = ref_locs[age_gender_idx]            # (B, J, 3)
+        rel = ref_rots[age_gender_idx]                # (B, J, 3, 3)
+        rel_seq = []
+        for t in range(L):
+            rel = pose_changes[:, t] @ rel
+            rel_seq.append(rel)
+        rel_rot = torch.stack(rel_seq, dim=1)         # (B, L, J, 3, 3)
+
+        # out-of-place per-joint accumulation (in-place writes break autograd)
+        loc_by_joint = [None] * J
+        rot_by_joint = [None] * J
+        for j in order:
+            p = PARENTS[j]
+            if p < 0:
+                loc_by_joint[j] = rel_loc[:, None, j].expand(B, L, 3)
+                rot_by_joint[j] = rel_rot[:, :, j]
+            else:
+                pr = rot_by_joint[p]
+                loc_by_joint[j] = (rel_loc[:, None, j, None, :] @ pr
+                                   ).squeeze(-2) + loc_by_joint[p]
+                rot_by_joint[j] = rel_rot[:, :, j] @ pr
+        abs_loc = torch.stack(loc_by_joint, dim=2)     # (B, L, J, 3)
+
+        # p3d pose -> p3d world: (x, y, z) -> (y, -x, z); then view + screen
+        world = torch.stack([abs_loc[..., 1], -abs_loc[..., 0],
+                             abs_loc[..., 2]], dim=-1)
+        view = world @ camR + camT
+        z = view[..., 2]
+        screen = torch.stack([w - (fx * view[..., 0] / z + px),
+                              h - (fy * view[..., 1] / z + py)], dim=-1)
+        return abs_loc, screen
+
+    def hips_neck_normalize(p2d):
+        """ops/normalization.py::hips_neck_shift_scale + normalize."""
+        hips = p2d[..., hips_idx, :].mean(-2)
+        neck = p2d[..., neck_idx, :].mean(-2)
+        scale = torch.sqrt(
+            ((neck - hips) ** 2).sum(-1).clamp_min(1e-12))
+        return (p2d - hips[..., None, :]) / scale[..., None, None]
+
+    return rot6d_to_matrix, forward_chain, hips_neck_normalize
+
+
+# ---------------------------------------------------------------------------
+# torch models (replicas of the reference architectures)
+# ---------------------------------------------------------------------------
+def _torch_models():
+    import torch
+    import torch.nn as nn
+
+    class TorchLinearAE(nn.Module):
+        """Reference ``linear_ae.py:5-59``: per-frame MLP /2 /4 /8 -> 6D."""
+
+        def __init__(self):
+            super().__init__()
+            in_size, out_size = J * 2, J * 6
+            self.encoder = nn.Sequential(
+                nn.Linear(in_size, in_size // 2), nn.ReLU(),
+                nn.Linear(in_size // 2, in_size // 4), nn.ReLU(),
+                nn.Linear(in_size // 4, in_size // 8), nn.ReLU())
+            self.decoder = nn.Sequential(
+                nn.Linear(in_size // 8, out_size // 4), nn.ReLU(),
+                nn.Linear(out_size // 4, out_size // 2), nn.ReLU(),
+                nn.Linear(out_size // 2, out_size))
+
+        def forward(self, x):
+            B, L = x.shape[:2]
+            h = x.reshape(B * L, J * 2)
+            return self.decoder(self.encoder(h)).view(B, L, J, 6)
+
+    class TorchSeq2SeqEmbeddings(nn.Module):
+        """Reference ``seq2seq_embeddings.py``: per-joint embeddings ->
+        LSTM encoder -> autoregressive LSTM decoder (no teacher forcing)."""
+
+        def __init__(self, emb=16, hidden=64, layers=2):
+            super().__init__()
+            self.emb = emb
+            self.embeddings = nn.ModuleList(
+                [nn.Linear(2, emb) for _ in range(J)])
+            self.encoder = nn.LSTM(J * emb, hidden, num_layers=layers)
+            self.decoder = nn.LSTM(J * 2, hidden, num_layers=layers)
+            self.fc_out = nn.Linear(hidden, J * 2)
+
+        def forward(self, x):
+            B, L = x.shape[:2]
+            xs = x.permute(1, 0, 2, 3)  # sequence-first
+            embedded = torch.stack(
+                [self.embeddings[j](xs[:, :, j]) for j in range(J)],
+                dim=2).reshape(L, B, J * self.emb)
+            _, (hid, cell) = self.encoder(embedded)
+            inp = torch.zeros((B, J * 2))
+            outs = []
+            for _ in range(L):
+                o, (hid, cell) = self.decoder(inp.unsqueeze(0), (hid, cell))
+                inp = self.fc_out(o.squeeze(0))
+                outs.append(inp)
+            return torch.stack(outs).permute(1, 0, 2).reshape(B, L, J, 2)
+
+    return TorchLinearAE, TorchSeq2SeqEmbeddings
+
+
+# ---------------------------------------------------------------------------
+# torch training loops
+# ---------------------------------------------------------------------------
+def train_torch_linear_ae(train, val, epochs, seed=0):
+    import torch
+
+    rot6d, chain, hn_norm = _torch_geometry()
+    TorchLinearAE, _ = _torch_models()
+    torch.manual_seed(seed)
+    model = TorchLinearAE()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR,
+                            weight_decay=WEIGHT_DECAY)
+
+    def step(batch, training):
+        inputs, targets, meta = batch
+        x = torch.tensor(inputs[..., :2])
+        agi = torch.tensor(meta["age_gender_idx"], dtype=torch.long)
+        changes = rot6d(model(x))
+        abs_loc, screen = chain(changes, agi)
+        pred_norm = hn_norm(screen)
+        loss = ((pred_norm
+                 - torch.tensor(targets["projection_2d_transformed"])) ** 2
+                ).mean()
+        if training:
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        mpjpe = 1000.0 * torch.linalg.norm(
+            abs_loc - torch.tensor(targets["absolute_pose_loc"]),
+            dim=-1).mean()
+        return float(loss.detach()), float(mpjpe.detach())
+
+    history = _run_epochs(step, train, val, epochs, torch_mode=True)
+    return history
+
+
+def train_torch_seq2seq_ae(train, val, epochs, seed=0):
+    import torch
+
+    _, _, hn_norm = _torch_geometry()
+    _, TorchSeq2Seq = _torch_models()
+    torch.manual_seed(seed)
+    model = TorchSeq2Seq()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR,
+                            weight_decay=WEIGHT_DECAY)
+
+    def pckhn(pred, gt):
+        from pedestrians_video_2_carla_tpu.skeletons.carla import \
+            CARLA_SKELETON
+        hips = tuple(CARLA_SKELETON.get_hips_indices())
+        neck = tuple(CARLA_SKELETON.get_neck_indices())
+        scale = torch.sqrt(((gt[..., neck, :].mean(-2)
+                             - gt[..., hips, :].mean(-2)) ** 2
+                            ).sum(-1).clamp_min(1e-12))
+        dist = torch.linalg.norm(pred - gt, dim=-1) / scale[..., None]
+        return float((dist < 0.1).float().mean())
+
+    def step(batch, training):
+        inputs, targets, meta = batch
+        x = torch.tensor(inputs[..., :2])
+        gt = torch.tensor(targets["projection_2d_transformed"])
+        out = model(x)
+        loss = ((out - gt) ** 2).mean()
+        if training:
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        return float(loss.detach()), pckhn(out.detach(), gt)
+
+    return _run_epochs(step, train, val, epochs, torch_mode=True)
+
+
+def _run_epochs(step, train, val, epochs, torch_mode=False):
+    import torch
+    history = []
+    for epoch in range(epochs):
+        for b in train:
+            step(b, training=True)
+        with torch.no_grad() if torch_mode else _nullcontext():
+            stats = [step(b, training=False) for b in val]
+        history.append(tuple(float(np.mean([s[i] for s in stats]))
+                             for i in range(len(stats[0]))))
+    return history
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+# ---------------------------------------------------------------------------
+# JAX training loops (the rebuild, through its real flow steps)
+# ---------------------------------------------------------------------------
+def train_jax_flow(flow, train, val, epochs, metric_fn, seed=0):
+    import jax
+
+    state = flow.init_state(jax.random.PRNGKey(seed), train[0])
+    train_step = jax.jit(flow.training_step, donate_argnums=(0,))
+    eval_step = jax.jit(flow.eval_step)
+    rng = jax.random.PRNGKey(seed + 1)
+    history = []
+    for epoch in range(epochs):
+        for i, b in enumerate(train):
+            state, logs = train_step(state, b,
+                                     jax.random.fold_in(rng, epoch * 997 + i))
+        primary_name = flow.requested_loss_modes[0].name
+        stats = []
+        for b in val:
+            loss_dict, preds, targets = eval_step(state, b)
+            stats.append((float(loss_dict[primary_name]),
+                          metric_fn(preds, targets)))
+        history.append(tuple(float(np.mean([s[i] for s in stats]))
+                             for i in range(2)))
+    return history
+
+
+def jax_linear_ae(train, val, epochs, seed=0):
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=LR,
+                                              weight_decay=WEIGHT_DECAY))
+
+    def mpjpe(preds, targets):
+        return float(1000.0 * np.linalg.norm(
+            np.asarray(preds["absolute_pose_loc"])
+            - np.asarray(targets["absolute_pose_loc"]), axis=-1).mean())
+
+    return train_jax_flow(flow, train, val, epochs, mpjpe, seed)
+
+
+def jax_seq2seq_ae(train, val, epochs, seed=0):
+    from pedestrians_video_2_carla_tpu.flows.autoencoder import \
+        AutoencoderFlow
+    from pedestrians_video_2_carla_tpu.flows.output_types import \
+        MovementsModelOutputType
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.skeletons.carla import CARLA_SKELETON
+
+    flow = AutoencoderFlow(
+        movements_model=MOVEMENTS_MODELS["Seq2SeqEmbeddings"](
+            movements_output_type=MovementsModelOutputType.pose_2d,
+            teacher_mode="no_force", p_dropout=0.0),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=LR,
+                                              weight_decay=WEIGHT_DECAY))
+
+    hips = tuple(CARLA_SKELETON.get_hips_indices())
+    neck = tuple(CARLA_SKELETON.get_neck_indices())
+
+    def pckhn(preds, targets):
+        pred = np.asarray(preds["projection_2d_transformed"])[..., :2]
+        gt = np.asarray(targets["projection_2d_transformed"])[..., :2]
+        scale = np.sqrt(np.maximum(((gt[..., neck, :].mean(-2)
+                                     - gt[..., hips, :].mean(-2)) ** 2
+                                    ).sum(-1), 1e-12))
+        dist = np.linalg.norm(pred - gt, axis=-1) / scale[..., None]
+        return float((dist < 0.1).mean())
+
+    return train_jax_flow(flow, train, val, epochs, pckhn, seed)
+
+
+# ---------------------------------------------------------------------------
+def geometry_self_check(train):
+    """torch chain must match the JAX projection pipeline on real data."""
+    import jax
+    import torch
+
+    from pedestrians_video_2_carla_tpu.flows.output_types import \
+        MovementsModelOutputType
+    from pedestrians_video_2_carla_tpu.ops.projection import (
+        ProjectionModule, projection_state_for)
+
+    inputs, targets, meta = train[0]
+    changes = targets["pose_changes"][:8]
+    agi = meta["age_gender_idx"][:8]
+
+    pm = ProjectionModule(MovementsModelOutputType.pose_changes)
+    state = projection_state_for(jax.numpy.asarray(agi))
+    jax_screen = np.asarray(pm(state, jax.numpy.asarray(changes))[0])[..., :2]
+
+    _, chain, _ = _torch_geometry()
+    with torch.no_grad():
+        _, torch_screen = chain(torch.tensor(changes),
+                                torch.tensor(agi, dtype=torch.long))
+    err = np.abs(torch_screen.numpy() - jax_screen).max()
+    assert err < 5e-2, f"torch/JAX geometry mismatch: {err} px"
+    return float(err)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="all",
+                    choices=["all", "linear_ae", "seq2seq_ae"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--train_batches", type=int, default=8)
+    ap.add_argument("--val_batches", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--clip_length", type=int, default=16)
+    ap.add_argument("--seeds", type=int, default=2,
+                    help="init seeds per side (best-of reported)")
+    ap.add_argument("--out", default="docs/quality_parity.json")
+    args = ap.parse_args()
+
+    train, val = make_dataset(args.train_batches, args.val_batches,
+                              args.batch_size, args.clip_length)
+    geo_err = geometry_self_check(train)
+    print(f"geometry self-check: torch vs JAX max {geo_err:.4f} px")
+
+    results = {"geometry_max_err_px": geo_err,
+               "epochs": args.epochs,
+               "dataset": {"train_batches": args.train_batches,
+                           "val_batches": args.val_batches,
+                           "batch_size": args.batch_size,
+                           "clip_length": args.clip_length}}
+    configs = {
+        "linear_ae": (train_torch_linear_ae, jax_linear_ae,
+                      ("val_loss", "MPJPE_mm")),
+        "seq2seq_ae": (train_torch_seq2seq_ae, jax_seq2seq_ae,
+                       ("val_loss", "PCKhn@01")),
+    }
+    for name, (torch_fn, jax_fn, labels) in configs.items():
+        if args.config not in ("all", name):
+            continue
+        entry = {"metrics": labels}
+        for side, fn in (("torch", torch_fn), ("jax", jax_fn)):
+            runs = []
+            for seed in range(args.seeds):
+                t0 = time.time()
+                hist = fn(train, val, args.epochs, seed=seed)
+                runs.append({"seed": seed, "history": hist,
+                             "final": hist[-1],
+                             "train_s": round(time.time() - t0, 1)})
+                print(f"{name}/{side} seed={seed}: "
+                      f"final={hist[-1]} ({runs[-1]['train_s']}s)")
+            entry[side] = runs
+        results[name] = entry
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+
+    # markdown summary
+    print("\n| config | metric | torch (best) | jax (best) |")
+    print("|---|---|---|---|")
+    for name in ("linear_ae", "seq2seq_ae"):
+        if name not in results:
+            continue
+        e = results[name]
+        m = e["metrics"][1]
+        better = min if m.endswith("_mm") else max
+        tv = better(r["final"][1] for r in e["torch"])
+        jv = better(r["final"][1] for r in e["jax"])
+        print(f"| {name} | {m} | {tv:.4g} | {jv:.4g} |")
+
+
+if __name__ == "__main__":
+    main()
