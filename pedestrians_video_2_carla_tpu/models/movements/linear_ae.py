@@ -11,11 +11,22 @@ import flax.linen as nn
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import rotation_6d_to_matrix
-from .common import MovementsModel
+from .common import MovementsModel, TorchDense, identity_head_dense
 
 
 class LinearAE(MovementsModel):
-    """Per-frame MLP autoencoder: sizes /2, /4, /8 of the input."""
+    """Per-frame MLP autoencoder: sizes /2, /4, /8 of the input.
+
+    Uses torch-default layer init (``TorchDense``): with flax's zero-bias
+    lecun init this model plateaus in a ~430-540 mm MPJPE basin on the
+    flagship fp32 config; torch init reaches the reference's ~200 mm basin
+    (quality-parity study, ``docs/quality_parity.json``). With
+    ``identity_head`` (default) the final layer starts at the identity
+    rotation neighborhood — training begins from the reference pose, which
+    removes the bad-basin init lottery both frameworks otherwise share
+    (~1-in-3 seeds settle at ~500 mm). Layers keep the ``Dense_i`` names
+    for checkpoint/torch-import compatibility."""
+    identity_head: bool = True
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
@@ -24,17 +35,22 @@ class LinearAE(MovementsModel):
         in_size = len(self.input_nodes) * 2
         out_size = out_joints * self.output_features
         h = x[..., :2].reshape(B * L, in_size)
-        for width in (in_size // 2, in_size // 4, in_size // 8):
-            h = nn.relu(nn.Dense(width)(h))
-        for width in (out_size // 4, out_size // 2):
-            h = nn.relu(nn.Dense(width)(h))
-        out = nn.Dense(out_size)(h)
+        widths = (in_size // 2, in_size // 4, in_size // 8,
+                  out_size // 4, out_size // 2)
+        for i, width in enumerate(widths):
+            h = nn.relu(TorchDense(width, name=f"Dense_{i}")(h))
+        head = identity_head_dense(
+            out_size, self.movements_output_type, out_joints,
+            name=f"Dense_{len(widths)}") if self.identity_head \
+            else TorchDense(out_size, name=f"Dense_{len(widths)}")
+        out = head(h)
         return self.format_output(
             out.reshape(B, L, out_joints, self.output_features))
 
 
 class LinearAE2D(MovementsModel):
-    """Frame-independent 2D->2D autoencoder with a width scaling factor."""
+    """Frame-independent 2D->2D autoencoder with a width scaling factor.
+    torch-default layer init (see :class:`LinearAE`)."""
     model_scaling_factor: int = 8
     movements_output_type: MovementsModelOutputType = \
         MovementsModelOutputType.pose_2d
@@ -45,12 +61,16 @@ class LinearAE2D(MovementsModel):
         out_joints = len(self.output_nodes)
         s = self.model_scaling_factor
         h = x[..., :2].reshape(B * L, -1)
+        i = 0
         for width in (1024 // s, 512 // s, 256 // s):
-            h = nn.relu(nn.Dense(width)(h))
-        h = nn.Dense(128 // s)(h)
+            h = nn.relu(TorchDense(width, name=f"Dense_{i}")(h))
+            i += 1
+        h = TorchDense(128 // s, name=f"Dense_{i}")(h)
+        i += 1
         for width in (256 // s, 512 // s, 1024 // s):
-            h = nn.relu(nn.Dense(width)(h))
-        out = nn.Dense(out_joints * 2)(h)
+            h = nn.relu(TorchDense(width, name=f"Dense_{i}")(h))
+            i += 1
+        out = TorchDense(out_joints * 2, name=f"Dense_{i}")(h)
         return out.reshape(B, L, out_joints, 2)
 
     @staticmethod

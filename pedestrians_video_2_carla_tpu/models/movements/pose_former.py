@@ -25,6 +25,7 @@ expect slightly less dropout noise at equal rates.
 import functools
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...flows.output_types import MovementsModelOutputType
@@ -51,6 +52,34 @@ class _Mlp(nn.Module):
         return nn.Dropout(self.drop, deterministic=not training)(x)
 
 
+class _Attention(nn.Module):
+    """timm-style self-attention with the torch-packed qkv projection kept
+    FUSED: one (D -> 3D) matmul instead of flax MultiHeadDotProductAttention's
+    three DenseGenerals. At PoseFormer's small widths (spatial D=32) a D x D
+    matmul occupies a sliver of a 128x128 MXU tile, so 3 separate qkv matmuls
+    waste ~3x the tile issue slots the fused one does; the packed layout also
+    matches the reference checkpoint format byte-for-byte
+    (``models/torch_import.py::_attention``)."""
+    dim: int
+    num_heads: int
+    attn_drop: float
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        B, T, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, name="qkv")(x)
+        qkv = qkv.reshape(B, T, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]            # (B, H, T, hd)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not training)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        return nn.Dense(D, name="proj")(out)
+
+
 class _Block(nn.Module):
     """Pre-norm transformer block (timm-style, as used by PoseFormer)."""
     dim: int
@@ -62,9 +91,7 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         y = _LayerNorm()(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            dropout_rate=self.attn_drop, deterministic=not training)(y, y)
+        y = _Attention(self.dim, self.num_heads, self.attn_drop)(y, training)
         x = x + nn.Dropout(self.drop, deterministic=not training)(y)
         y = _LayerNorm()(x)
         y = _Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop)(

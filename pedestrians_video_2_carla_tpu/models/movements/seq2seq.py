@@ -13,10 +13,12 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import matrix_to_rotation_6d, rotation_6d_to_matrix
-from .common import MovementsModel
+from .common import MovementsModel, TorchDense, torch_lstm_cell,\
+    torch_uniform_init
 
 
 class TeacherMode(Enum):
@@ -42,13 +44,13 @@ class _DecoderStep(nn.Module):
         h = prev_inp
         new_states = []
         for layer in range(self.num_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_size,
-                                        name=f"lstm_{layer}")
+            cell = torch_lstm_cell(self.hidden_size,
+                                   name=f"lstm_{layer}")
             new_state, h = cell(lstm_states[layer], h)
             new_states.append(new_state)
         h = nn.Dropout(self.p_dropout,
                        deterministic=self.deterministic)(h)
-        output = nn.Dense(self.output_size, name="fc_out")(h)
+        output = TorchDense(self.output_size, name="fc_out")(h)
 
         if self.residual == "none":
             returned, next_inp = output, output
@@ -132,12 +134,12 @@ class Seq2Seq(MovementsModel):
         h = inp
         enc_states = []
         for layer in range(self.num_layers):
-            rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+            rnn = nn.RNN(torch_lstm_cell(self.hidden_size),
                          name=f"encoder_lstm_{layer}", return_carry=True)
             carry, h = rnn(h)
             enc_states.append(carry)
             if self.bidirectional:
-                rnn_b = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                rnn_b = nn.RNN(torch_lstm_cell(self.hidden_size),
                                name=f"encoder_lstm_{layer}_rev",
                                return_carry=True, reverse=True)
                 carry_b, h_b = rnn_b(inp if layer == 0 else h)
@@ -212,10 +214,10 @@ class Seq2SeqEmbeddings(Seq2Seq):
 
     def _format_input(self, x):
         J = len(self.input_nodes)
-        w = self.param("joint_embeddings",
-                       nn.initializers.lecun_normal(),
+        emb_init = torch_uniform_init(1.0 / np.sqrt(2.0))
+        w = self.param("joint_embeddings", emb_init,
                        (J, 2, self.single_joint_embeddings_size))
-        b = self.param("joint_embeddings_bias", nn.initializers.zeros,
+        b = self.param("joint_embeddings_bias", emb_init,
                        (J, self.single_joint_embeddings_size))
         emb = jnp.einsum("bljc,jce->blje", x[..., :2], w) + b
         return emb.reshape(x.shape[0], x.shape[1], -1)

@@ -144,26 +144,18 @@ def import_video_pose_3d(state_dict: Dict[str, np.ndarray],
 
 
 def _attention(sd, prefix, num_heads):
-    """timm packed-qkv attention -> flax MultiHeadDotProductAttention."""
+    """timm packed-qkv attention -> the fused ``_Attention`` module
+    (``pose_former.py``): the qkv projection stays PACKED, so the mapping is
+    a plain transpose — torch's (3D, D) row-major [q; k; v] output ordering
+    is exactly the flax kernel's column ordering."""
     qkv_w = sd[f"{prefix}.qkv.weight"]       # (3D, D)
     D = qkv_w.shape[1]
-    head_dim = D // num_heads
     qkv_b = sd.get(f"{prefix}.qkv.bias", np.zeros(3 * D, np.float32))
-
-    def split(mat_or_vec, i):
-        chunk = mat_or_vec[i * D:(i + 1) * D]
-        if chunk.ndim == 2:  # (D_out, D_in) -> (D_in, heads, head_dim)
-            return chunk.T.reshape(D, num_heads, head_dim).copy()
-        return chunk.reshape(num_heads, head_dim).copy()
-
     out_w = sd[f"{prefix}.proj.weight"]      # (D, D)
     out_b = sd.get(f"{prefix}.proj.bias", np.zeros(D, np.float32))
     return {
-        "query": {"kernel": split(qkv_w, 0), "bias": split(qkv_b, 0)},
-        "key": {"kernel": split(qkv_w, 1), "bias": split(qkv_b, 1)},
-        "value": {"kernel": split(qkv_w, 2), "bias": split(qkv_b, 2)},
-        "out": {"kernel": out_w.T.reshape(num_heads, head_dim, D).copy(),
-                "bias": out_b.copy()},
+        "qkv": {"kernel": qkv_w.T.copy(), "bias": qkv_b.copy()},
+        "proj": {"kernel": out_w.T.copy(), "bias": out_b.copy()},
     }
 
 
@@ -180,7 +172,7 @@ def import_pose_former(state_dict: Dict[str, np.ndarray],
     def block(prefix):
         return {
             "LayerNorm_0": _layer_norm(state_dict, f"{prefix}.norm1"),
-            "MultiHeadDotProductAttention_0": _attention(
+            "_Attention_0": _attention(
                 state_dict, f"{prefix}.attn", num_heads),
             "LayerNorm_1": _layer_norm(state_dict, f"{prefix}.norm2"),
             "_Mlp_0": {
