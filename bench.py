@@ -47,7 +47,8 @@ def bench_tpu_train():
     state = flow.init_state(jax.random.PRNGKey(1), batch)
     train_step = jax.jit(flow.training_step, donate_argnums=(0,))
 
-    rng = jax.random.PRNGKey(2)
+    from pedestrians_video_2_carla_tpu.utils.rng import training_rng
+    rng = training_rng(2)
     # warmup/compile (the remote-tunnel runtime needs several iterations
     # before steady-state timing)
     for _ in range(5):
@@ -144,7 +145,8 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
             optax.MultiSteps(inner_make(), grad_accum))
     state = flow.init_state(jax.random.PRNGKey(1), batch)
     train_step = jax.jit(flow.training_step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(2)
+    from pedestrians_video_2_carla_tpu.utils.rng import training_rng
+    rng = training_rng(2)
     for _ in range(warmup):
         state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs)
@@ -251,7 +253,8 @@ def bench_host_pipeline(num_clips=16384, batch=BATCH, epochs=3):
         state = flow.init_state(jax.random.PRNGKey(1),
                                 next(iter(dm.train_batches(0))))
         train_step = jax.jit(flow.training_step, donate_argnums=(0,))
-        rng = jax.random.PRNGKey(2)
+        from pedestrians_video_2_carla_tpu.utils.rng import training_rng
+        rng = training_rng(2)
 
         def run_epoch(seed):
             nonlocal state

@@ -131,7 +131,10 @@ class Trainer:
             self.logger.log_hparams({**self.dm.hparams, **initial})
 
         limit = self._resolve_train_batches()
-        rng = jax.random.PRNGKey(self.config.seed + 7)
+        # RBG dropout stream: threefry mask generation measured ~46% of a
+        # dropout-heavy train step on TPU (utils/rng.py)
+        from ..utils.rng import training_rng
+        rng = training_rng(self.config.seed + 7)
         global_step = 0
         summary: Dict[str, Any] = {}
 

@@ -246,6 +246,168 @@ def train_torch_linear_ae(train, val, epochs, seed=0):
     return history
 
 
+def _torch_pose_former():
+    """Compact replica of the public PoseFormer ``PoseTransformer``
+    (zczcwh/PoseFormer model_poseformer.py) at depth 4 / heads 8 / emb 32,
+    single receptive window (clip_length == receptive_frames == 9)."""
+    import torch
+    import torch.nn as nn
+
+    emb, depth, heads = 32, 4, 8
+    D = J * emb
+
+    class Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+    class Attention(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+            self.h = heads
+
+        def forward(self, x):
+            B_, N, C = x.shape
+            qkv = self.qkv(x).reshape(B_, N, 3, self.h, C // self.h
+                                      ).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * ((C // self.h) ** -0.5)
+            attn = attn.softmax(dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(B_, N, C))
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = Attention(dim)
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = Mlp(dim, int(dim * 2))
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PoseTransformer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch = nn.Linear(2, emb)
+            self.spos = nn.Parameter(torch.zeros(1, J, emb))
+            self.tpos = nn.Parameter(torch.zeros(1, 9, D))
+            self.sblocks = nn.ModuleList([Block(emb) for _ in range(depth)])
+            self.tblocks = nn.ModuleList([Block(D) for _ in range(depth)])
+            self.snorm = nn.LayerNorm(emb)
+            self.tnorm = nn.LayerNorm(D)
+            self.wmean = nn.Conv1d(9, 1, 1)
+            self.head = nn.Sequential(nn.LayerNorm(D), nn.Linear(D, J * 3))
+            nn.init.trunc_normal_(self.spos, std=.02)
+            nn.init.trunc_normal_(self.tpos, std=.02)
+
+        def forward(self, x):          # (B, 9, J, 2)
+            B_, L_ = x.shape[:2]
+            s = self.patch(x) + self.spos          # (B, 9, J, emb)
+            s = s.reshape(B_ * L_, J, emb)
+            for b in self.sblocks:
+                s = b(s)
+            s = self.snorm(s).reshape(B_, L_, D)
+            t = s + self.tpos
+            for b in self.tblocks:
+                t = b(t)
+            t = self.tnorm(t)
+            out = self.wmean(t)                    # (B, 1, D)
+            out = self.head[1](self.head[0](out))
+            return out.reshape(B_, 1, J, 3)        # center-frame prediction
+
+    return PoseTransformer
+
+
+def _torch_denorm_from_abs():
+    """torch replica of ops/reference_skeletons.py::denormalize_from_abs
+    (autonormalize=True): self hips-neck-normalize the 3D pose, rescale onto
+    the per-age/gender reference skeleton size."""
+    import torch
+
+    from pedestrians_video_2_carla_tpu.ops.reference_skeletons import \
+        reference_absolute_tensors
+    from pedestrians_video_2_carla_tpu.skeletons.carla import CARLA_SKELETON
+
+    abs_loc, _ = reference_absolute_tensors()      # (4, 26, 3) numpy
+    hips_idx = tuple(CARLA_SKELETON.get_hips_indices())
+    neck_idx = tuple(CARLA_SKELETON.get_neck_indices())
+    ref = torch.tensor(abs_loc)
+    ref_hips = ref[:, hips_idx].mean(1)            # (4, 3)
+    ref_neck = ref[:, neck_idx].mean(1)
+    ref_scale = torch.sqrt(((ref_neck - ref_hips) ** 2).sum(-1))  # (4,)
+
+    def denorm(frames, agi):                       # (B, L, J, 3), (B,)
+        hips = frames[..., hips_idx, :].mean(-2)
+        neck = frames[..., neck_idx, :].mean(-2)
+        scale = torch.sqrt(
+            ((neck - hips) ** 2).sum(-1).clamp_min(1e-12))
+        normed = (frames - hips[..., None, :]) / scale[..., None, None]
+        return normed * ref_scale[agi][:, None, None, None] \
+            + ref_hips[agi][:, None, None, :]
+
+    return denorm
+
+
+def train_torch_pose_former(train, val, epochs, seed=0):
+    import torch
+
+    PoseTransformer = _torch_pose_former()
+    denorm = _torch_denorm_from_abs()
+    torch.manual_seed(seed)
+    model = PoseTransformer()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR,
+                            weight_decay=WEIGHT_DECAY)
+
+    def step(batch, training):
+        inputs, targets, meta = batch
+        x = torch.tensor(inputs[..., :2])
+        agi = torch.tensor(meta["age_gender_idx"], dtype=torch.long)
+        # center-frame prediction vs center-frame target (the JAX flow's
+        # eval_slice for clip_length == receptive_frames == 9 is [4:5])
+        gt = torch.tensor(targets["absolute_pose_loc"])[:, 4:5]
+        pred = denorm(model(x), agi)
+        loss = ((pred - gt) ** 2).mean()
+        if training:
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        mpjpe = 1000.0 * torch.linalg.norm(pred - gt, dim=-1).mean()
+        return float(loss.detach()), float(mpjpe.detach())
+
+    return _run_epochs(step, train, val, epochs, torch_mode=True)
+
+
+def jax_pose_former(train, val, epochs, seed=0):
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["PoseFormer"](
+            clip_length=9, receptive_frames=9),
+        loss_modes=[LossModes.loc_3d],
+        movements_optimizer=OptimizerSettings(lr=LR,
+                                              weight_decay=WEIGHT_DECAY))
+
+    def mpjpe(preds, targets):
+        return float(1000.0 * np.linalg.norm(
+            np.asarray(preds["absolute_pose_loc"])
+            - np.asarray(targets["absolute_pose_loc"]), axis=-1).mean())
+
+    return train_jax_flow(flow, train, val, epochs, mpjpe, seed)
+
+
 def train_torch_seq2seq_ae(train, val, epochs, seed=0):
     import torch
 
@@ -416,7 +578,8 @@ def geometry_self_check(train):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="all",
-                    choices=["all", "linear_ae", "seq2seq_ae"])
+                    choices=["all", "linear_ae", "seq2seq_ae",
+                             "pose_former"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--train_batches", type=int, default=8)
     ap.add_argument("--val_batches", type=int, default=2)
@@ -440,24 +603,34 @@ def main():
                            "clip_length": args.clip_length}}
     configs = {
         "linear_ae": (train_torch_linear_ae, jax_linear_ae,
-                      ("val_loss", "MPJPE_mm")),
+                      ("val_loss", "MPJPE_mm"), None),
         "seq2seq_ae": (train_torch_seq2seq_ae, jax_seq2seq_ae,
-                       ("val_loss", "PCKhn@01")),
+                       ("val_loss", "PCKhn@01"), None),
+        # PoseFormer trains on single receptive windows (clip 9 == rf 9,
+        # center-frame supervision) — the reference's window semantics
+        "pose_former": (train_torch_pose_former, jax_pose_former,
+                        ("val_loss", "MPJPE_mm"), 9),
     }
-    for name, (torch_fn, jax_fn, labels) in configs.items():
+    datasets = {None: (train, val)}
+    for name, (torch_fn, jax_fn, labels, clip) in configs.items():
         if args.config not in ("all", name):
             continue
+        if clip not in datasets:
+            datasets[clip] = make_dataset(
+                args.train_batches, args.val_batches, args.batch_size, clip)
+        c_train, c_val = datasets[clip]
         entry = {"metrics": labels}
         for side, fn in (("torch", torch_fn), ("jax", jax_fn)):
             runs = []
             for seed in range(args.seeds):
                 t0 = time.time()
-                hist = fn(train, val, args.epochs, seed=seed)
+                hist = fn(c_train, c_val, args.epochs, seed=seed)
                 runs.append({"seed": seed, "history": hist,
                              "final": hist[-1],
                              "train_s": round(time.time() - t0, 1)})
                 print(f"{name}/{side} seed={seed}: "
-                      f"final={hist[-1]} ({runs[-1]['train_s']}s)")
+                      f"final={hist[-1]} ({runs[-1]['train_s']}s)",
+                      flush=True)
             entry[side] = runs
         results[name] = entry
 
@@ -468,7 +641,7 @@ def main():
     # markdown summary
     print("\n| config | metric | torch (best) | jax (best) |")
     print("|---|---|---|---|")
-    for name in ("linear_ae", "seq2seq_ae"):
+    for name in ("linear_ae", "seq2seq_ae", "pose_former"):
         if name not in results:
             continue
         e = results[name]
