@@ -48,8 +48,13 @@ class _DecoderStep(nn.Module):
                                    name=f"lstm_{layer}")
             new_state, h = cell(lstm_states[layer], h)
             new_states.append(new_state)
-        h = nn.Dropout(self.p_dropout,
-                       deterministic=self.deterministic)(h)
+            if layer < self.num_layers - 1:
+                # torch ``nn.LSTM(dropout=p)`` semantics (reference Decoder,
+                # ``seq2seq.py:72-78``): dropout BETWEEN stacked layers only,
+                # never on the last layer's output (the reference defines
+                # ``self.dropout`` but never applies it in ``forward``).
+                h = nn.Dropout(self.p_dropout,
+                               deterministic=self.deterministic)(h)
         output = TorchDense(self.output_size, name="fc_out")(h)
 
         if self.residual == "none":
@@ -146,6 +151,11 @@ class Seq2Seq(MovementsModel):
                 h = jnp.concatenate([h, h_b], axis=-1)
                 enc_states[-1] = jax.tree_util.tree_map(
                     lambda a, b: (a + b) / 2, carry, carry_b)
+            if layer < self.num_layers - 1:
+                # between-layer dropout, torch ``nn.LSTM(dropout=p)``
+                # semantics (reference Encoder ``seq2seq.py:37-43``)
+                h = nn.Dropout(self.p_dropout,
+                               deterministic=not training)(h)
 
         # -- teacher forcing mask -----------------------------------------
         mode = TeacherMode[self.teacher_mode]

@@ -183,7 +183,7 @@ def _torch_models():
         """Reference ``seq2seq_embeddings.py``: per-joint embeddings ->
         LSTM encoder -> autoregressive LSTM decoder (no teacher forcing)."""
 
-        def __init__(self, emb=16, hidden=64, layers=2):
+        def __init__(self, emb=64, hidden=64, layers=2):
             super().__init__()
             self.emb = emb
             self.embeddings = nn.ModuleList(
