@@ -623,12 +623,21 @@ def main():
     geo_err = geometry_self_check(train)
     print(f"geometry self-check: torch vs JAX max {geo_err:.4f} px")
 
-    results = {"geometry_max_err_px": geo_err,
-               "epochs": args.epochs,
-               "dataset": {"train_batches": args.train_batches,
-                           "val_batches": args.val_batches,
-                           "batch_size": args.batch_size,
-                           "clip_length": args.clip_length}}
+    # merge into an existing results file so single-config runs
+    # (--config pose_former) don't drop previously-recorded configs
+    results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
+    results.update({"geometry_max_err_px": geo_err,
+                    "epochs": args.epochs,
+                    "dataset": {"train_batches": args.train_batches,
+                                "val_batches": args.val_batches,
+                                "batch_size": args.batch_size,
+                                "clip_length": args.clip_length}})
     configs = {
         "linear_ae": (train_torch_linear_ae, jax_linear_ae,
                       ("val_loss", "MPJPE_mm"), None),
@@ -647,7 +656,7 @@ def main():
             datasets[clip] = make_dataset(
                 args.train_batches, args.val_batches, args.batch_size, clip)
         c_train, c_val = datasets[clip]
-        entry = {"metrics": labels}
+        entry = {"metrics": labels, "epochs": args.epochs}
         for side, fn in (("torch", torch_fn), ("jax", jax_fn)):
             runs = []
             for seed in range(args.seeds):
