@@ -260,6 +260,53 @@ def bench_secondary_configs():
     return out
 
 
+def bench_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
+    """BASELINE config 3: crossing-classification train step (the
+    JAADOpenPose benchmark flow's compute shape — BODY_25 keypoints remapped
+    to the CARLA skeleton feed the same (B, L, 26, C) classifier step;
+    reference ``modules/flow/classification.py:97-158``). Reported for the
+    reference's two families: LSTM and the dense-adjacency GConvGRU GNN."""
+    import jax
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.classification import \
+        ClassificationFlow
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.classification import \
+        CLASSIFICATION_MODELS
+    from pedestrians_video_2_carla_tpu.utils.rng import training_rng
+
+    cfg = Carla2D3DConfig(batch_size=batch_size, clip_length=clip_length)
+    inputs, targets, meta = generate_batch(jax.random.PRNGKey(0), cfg)
+    labels = jax.numpy.asarray(
+        np.random.default_rng(0).integers(0, 2, batch_size, dtype=np.int32))
+    batch = (inputs, {**targets, "crossing": labels}, meta)
+    batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
+
+    out = {}
+    for model_name in ("LSTM", "GConvGRU"):
+        flow = ClassificationFlow(
+            classification_model=CLASSIFICATION_MODELS[model_name](),
+            classification_optimizer=OptimizerSettings(lr=1e-3))
+        state = flow.init_state(jax.random.PRNGKey(1), batch)
+        rng = training_rng(2)
+        train_step = jax.jit(flow.training_step, donate_argnums=(0,)) \
+            .lower(state, batch, rng).compile()
+        for _ in range(warmup):
+            state, logs = train_step(state, batch, rng)
+        jax.block_until_ready(logs)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = train_step(state, batch, rng)
+        jax.block_until_ready(logs)
+        cps = batch_size * steps / (time.perf_counter() - t0)
+        out[f"classification_{model_name.lower()}_clips_per_sec"] = \
+            round(cps, 2)
+    return out
+
+
 def bench_host_pipeline(num_clips=16384, batch=BATCH, epochs=3):
     """Streaming-epoch throughput with the HOST PIPELINE in the measured
     path: HDF5 subset on disk -> C++ native batch gather -> jit
@@ -401,6 +448,10 @@ def main():
     secondary = {}
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         secondary = bench_secondary_configs()
+        try:
+            secondary.update(bench_classification())
+        except Exception as e:
+            secondary["classification_error"] = repr(e)[:120]
         try:
             secondary["host_pipeline_stream_clips_per_sec"] = round(
                 bench_host_pipeline(), 2)
