@@ -102,6 +102,12 @@ class Seq2Seq(MovementsModel):
     invert_sequence: bool = False
     bidirectional: bool = False
     residual: str = "none"
+    #: lax.scan unroll factor for the encoder/decoder recurrences — identical
+    #: math, fewer sequential loop iterations on device. A/B through the
+    #: remote tunnel was inconclusive (run-to-run noise > unroll effect at
+    #: the BASELINE batch-256 shape), so the default stays 1; retune on
+    #: locally-attached hardware
+    unroll: int = 1
 
     @property
     def needs_targets(self) -> bool:
@@ -145,13 +151,15 @@ class Seq2Seq(MovementsModel):
                       jnp.zeros((B, self.hidden_size), inp.dtype))
         for layer in range(self.num_layers):
             rnn = nn.RNN(torch_lstm_cell(self.hidden_size),
-                         name=f"encoder_lstm_{layer}", return_carry=True)
+                         name=f"encoder_lstm_{layer}", return_carry=True,
+                         unroll=self.unroll)
             carry, h = rnn(h, initial_carry=zero_carry)
             enc_states.append(carry)
             if self.bidirectional:
                 rnn_b = nn.RNN(torch_lstm_cell(self.hidden_size),
                                name=f"encoder_lstm_{layer}_rev",
-                               return_carry=True, reverse=True)
+                               return_carry=True, reverse=True,
+                               unroll=self.unroll)
                 carry_b, h_b = rnn_b(inp if layer == 0 else h,
                                      initial_carry=zero_carry)
                 h = jnp.concatenate([h, h_b], axis=-1)
@@ -188,7 +196,7 @@ class Seq2Seq(MovementsModel):
             _DecoderStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=0, out_axes=0)
+            in_axes=0, out_axes=0, unroll=self.unroll)
         decoder = scan(hidden_size=self.hidden_size,
                        num_layers=self.num_layers,
                        output_size=output_size,

@@ -2,8 +2,9 @@
 ``ModelCheckpoint(monitor='val_loss/primary', mode=min, save_top_k=1)`` at
 ``modeling.py:240-245``).
 
-Uses orbax when available, with a msgpack/np fallback so checkpoints work in
-minimal environments.
+Checkpoints are flat ``np.savez`` pytree-leaf archives (portable, no extra
+deps, loadable without the model class); the monitored-best/last layout and
+``file://``/``wandb://`` scheme resolution mirror the reference.
 """
 import json
 import os
