@@ -275,6 +275,82 @@ def test_classification_gnn_sharded_matches_single_with_metrics():
                                    err_msg=k)
 
 
+def test_pose_estimation_conv_sharded_matches_single():
+    """P0 (ResNet-50 + atrous convs + BatchNorm) pose estimation from video
+    frames: the conv/batch-stats path must be shard-invariant too — under jit
+    sharding the BatchNorm batch reduction is global by construction (XLA
+    inserts the cross-device mean), exactly matching the unsharded stats
+    (reference trains UniPose-family models under the same DDP surface,
+    ``modeling.py:275-279``).
+
+    A 50-layer random-init ResNet backward is *chaotic*: ~1-ulp
+    reduction-order differences in the BatchNorm stats flip near-threshold
+    ReLUs and shift individual gradient leaves by percent-level norms (we
+    measured identical-process runs bit-exact, but different compilations
+    of the same graph up to ~5% per leaf). So the tight assertions go on
+    the smooth *forward* quantities — primary loss and the BatchNorm
+    batch-stats updates, where a sharding bug (local instead of global
+    batch mean) shows up directly — and the gradient tree is checked by
+    norm ratio with a margin that still catches a missing all-reduce
+    (which shifts leaves by O(1))."""
+    from pedestrians_video_2_carla_tpu.flows.pose_estimation import \
+        PoseEstimationFlow
+    from pedestrians_video_2_carla_tpu.losses import (LossModes,
+                                                      primary_loss)
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.pose_estimation import \
+        POSE_ESTIMATION_MODELS
+    from pedestrians_video_2_carla_tpu.parallel.mesh import shard_state
+
+    rng = np.random.default_rng(0)
+    B, L = 8, 1
+    inputs = rng.standard_normal((B, L, 16, 16, 3)).astype(np.float32)
+    proj = (rng.standard_normal((B, L, 26, 3)).astype(np.float32) * 40.0
+            + np.asarray([400.0, 300.0, 1.0], np.float32))
+    batch = (inputs, {"projection_2d": proj},
+             {"age_gender_idx": np.zeros((B,), np.int32)})
+
+    flow = PoseEstimationFlow(
+        movements_model=POSE_ESTIMATION_MODELS["P0"](dilations=(6,)),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        transform="none")
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+
+    def loss_stats_grads(params, state, batch, rng):
+        def loss_of(params):
+            sliced, new_mut = flow._inner_step(
+                params, state.mutables, batch, training=True,
+                rngs={"dropout": rng})
+            ld = flow._compute_losses(sliced, sliced["targets"])
+            return primary_loss(ld, flow.requested_loss_modes)[1], new_mut
+        (loss, new_mut), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        return loss, new_mut, grads
+
+    mesh = make_mesh(MeshConfig())
+    with mesh:
+        sh_state = shard_state(mesh, state)
+        sh = jax.device_get(jax.jit(loss_stats_grads)(
+            sh_state.params, sh_state, shard_batch(mesh, batch),
+            jax.random.PRNGKey(2)))
+    sd = jax.device_get(jax.jit(loss_stats_grads)(
+        state.params, state, batch, jax.random.PRNGKey(2)))
+
+    np.testing.assert_allclose(float(sh[0]), float(sd[0]), rtol=1e-4)
+    # batch_stats updates: the global-batch means/vars XLA computes across
+    # shards must equal the single-device ones (a per-shard-local batchnorm
+    # would be off by O(1) at batch 8 / 8 devices)
+    _assert_trees_close(sh[1], sd[1], atol=1e-5, rtol=1e-4)
+    diff_sq = ref_sq = 0.0
+    for x, y in zip(jax.tree_util.tree_leaves(sh[2]),
+                    jax.tree_util.tree_leaves(sd[2])):
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        diff_sq += float(((x - y) ** 2).sum())
+        ref_sq += float((y ** 2).sum())
+    assert (diff_sq / max(ref_sq, 1e-24)) ** 0.5 < 0.15
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
