@@ -208,6 +208,12 @@ def _roofline(compiled, sec_per_step):
             out["hbm_gb_per_step"] = round(acc_bytes / 1e9, 2)
             out["hbm_util_pct"] = round(
                 100 * acc_bytes / sec_per_step / peak_bw, 2)
+            if out["hbm_util_pct"] > 100:
+                # the cost model counts every operand touch at full size;
+                # fusion/VMEM reuse means physical traffic can be lower, so
+                # >100% marks an overestimate, not superluminal HBM
+                out["hbm_note"] = "bytes-accessed is XLA's pre-fusion " \
+                                  "estimate; >100% = cost-model overcount"
         out["peaks_assumed"] = f"{kind}: {peak_flops/1e12:.0f} TFLOP/s " \
                                f"bf16, {peak_bw/1e9:.0f} GB/s"
         return out
