@@ -35,7 +35,8 @@ def add_program_args(parser: argparse.ArgumentParser):
     parser.add_argument("--flow", default="pose_lifting",
                         choices=list(available_flows().keys()))
     parser.add_argument("--mode", default="train",
-                        choices=["train", "tune", "test", "predict"])
+                        choices=["train", "tune", "test", "predict",
+                                 "export"])
     parser.add_argument("--data_module_name", default="Carla2D3D")
     parser.add_argument("--predict_sets", nargs="+", default=["test"])
     parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
@@ -420,16 +421,19 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     dm.setup(args.mode)
 
     results: Dict[str, Any] = {"trainer": trainer, "flow": flow, "dm": dm}
+    if args.ckpt_path:
+        # --ckpt_path is honored in EVERY mode (reference resolves it for
+        # train resume, tune weight-reload, test/predict evaluation alike;
+        # ``modeling.py:281-302``)
+        from .training.checkpoint import resolve_ckpt_path
+        resolved = resolve_ckpt_path(args.ckpt_path)
+        if resolved.endswith((".ckpt", ".pth", ".pt")):
+            # torch/Lightning checkpoint -> weight-compatible import
+            trainer.restore_torch(resolved, args.movements_model_name)
+        else:
+            trainer.restore(resolved,
+                            weights_only=(args.mode != "train"))
     if args.mode in ("train", "tune"):
-        if args.ckpt_path:
-            from .training.checkpoint import resolve_ckpt_path
-            resolved = resolve_ckpt_path(args.ckpt_path)
-            if resolved.endswith((".ckpt", ".pth", ".pt")):
-                # torch/Lightning checkpoint -> weight-compatible import
-                trainer.restore_torch(resolved, args.movements_model_name)
-            else:
-                trainer.restore(resolved,
-                                weights_only=(args.mode == "tune"))
         if args.profile:
             import os as _os
 
@@ -448,6 +452,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         for set_name in args.predict_sets:
             predictions[set_name] = trainer.predict(set_name)
         results["predictions"] = predictions
+    elif args.mode == "export":
+        # serving artifact: bake the (restored) weights into a serialized
+        # StableHLO inference function (serving.py; TPU-native extension)
+        import numpy as _np
+
+        from .serving import export_inference
+        sample = trainer._init_state()
+        path = os.path.join(trainer.log_dir, "exported", "model.jaxexp")
+        results["export_path"] = export_inference(
+            flow, trainer.state, _np.asarray(sample[0]),
+            _np.asarray(sample[2]["age_gender_idx"]), path)
+        print(f"exported inference artifact: {path}")
     return results
 
 

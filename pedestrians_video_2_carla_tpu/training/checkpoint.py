@@ -21,7 +21,11 @@ def _save_pytree(path: str, tree: Any) -> None:
 
 
 def _load_pytree(path: str, like: Any) -> Any:
-    data = np.load(path + ".npz")
+    # accept both the stem (what save_last/maybe_save return) and the
+    # actual on-disk file name a user reads from `ls checkpoints/`
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, loaded)

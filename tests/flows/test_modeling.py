@@ -179,6 +179,31 @@ def test_train_resume_from_last_checkpoint(tmp_path):
     tuned = main(list(args) + ["--mode=tune", f"--ckpt_path=file://{last}"])
     assert "val_metrics" in tuned
 
+    # --ckpt_path is honored in EVERY mode (reference resolves it for
+    # test/predict evaluation too): test mode must evaluate the restored
+    # weights, not a fresh init
+    tested = main([a for a in args if not a.startswith("--mode")]
+                  + ["--mode=test", f"--ckpt_path=file://{last}"])
+    import jax
+    import numpy as np
+    trained = first["trainer"].state.params["movements"]
+    evaluated = tested["trainer"].state.params["movements"]
+    for a, b in zip(jax.tree_util.tree_leaves(trained),
+                    jax.tree_util.tree_leaves(evaluated)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # export mode: serialized StableHLO serving artifact from the checkpoint
+    exported = main([a for a in args if not a.startswith("--mode")]
+                    + ["--mode=export", f"--ckpt_path=file://{last}"])
+    path = exported["export_path"]
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+    from pedestrians_video_2_carla_tpu.serving import load_inference
+    call, meta = load_inference(path)
+    import numpy as np
+    out = call(np.zeros(meta["input_shapes"][0], np.float32),
+               np.zeros(meta["input_shapes"][1], np.int32))
+    assert "projection_2d" in out
+
 
 def test_sweep_runner(tmp_path):
     """Local random-search sweep over the W&B sweep YAML format (reference
