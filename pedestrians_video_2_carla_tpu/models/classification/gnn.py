@@ -37,19 +37,26 @@ def laplacian_op(skeleton) -> np.ndarray:
     return -skeleton.get_adjacency_matrix(normalized=True, self_loops=False)
 
 
+def cheb_stack(op: jnp.ndarray, x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[T_0(op) x, ..., T_{k-1}(op) x] concatenated on the feature axis.
+
+    Splitting the Chebyshev conv into basis expansion + one matmul lets
+    several gates share the expansion and fuse their weight matmuls into a
+    single wide (k·C, G·H) dot — the scan body then issues 2 ops per gate
+    group instead of 2·k·G small ones (sequential-dispatch-bound on TPU)."""
+    ts = [x]
+    if k > 1:
+        ts.append(jnp.einsum("ij,...jc->...ic", op, x))
+        for _ in range(k - 2):
+            ts.append(2 * jnp.einsum("ij,...jc->...ic", op, ts[-1]) - ts[-2])
+    return ts[0] if k == 1 else jnp.concatenate(ts, axis=-1)
+
+
 def cheb_apply(op: jnp.ndarray, x: jnp.ndarray,
                weights: Sequence[jnp.ndarray], bias: jnp.ndarray):
     """K-order Chebyshev conv: sum_k T_k(op) x W_k + b; x: (..., J, C)."""
-    t_prev2 = x
-    out = t_prev2 @ weights[0]
-    if len(weights) > 1:
-        t_prev1 = jnp.einsum("ij,...jc->...ic", op, x)
-        out = out + t_prev1 @ weights[1]
-        for w in weights[2:]:
-            t = 2 * jnp.einsum("ij,...jc->...ic", op, t_prev1) - t_prev2
-            out = out + t @ w
-            t_prev2, t_prev1 = t_prev1, t
-    return out + bias
+    return cheb_stack(op, x, len(weights)) @ jnp.concatenate(
+        list(weights), axis=0) + bias
 
 
 class _GraphGatedRecurrent(ClassificationModel):
@@ -77,8 +84,10 @@ class _GraphGatedRecurrent(ClassificationModel):
                         (self.hidden_size,))
         return wx, bx, wh, bh
 
-    def _cell(self, op, gate_params, h_carry, x_gates_t):
-        """One step given precomputed input-side gate activations."""
+    def _cell(self, op, hidden_weights, h_carry, x_gates_t):
+        """One step given precomputed input-side gate activations and fused
+        hidden-side weights (``hidden_weights[group_leader] = (W, b)`` with
+        ``W: (k·H, len(group)·H)``, per ``_hidden_groups``)."""
         raise NotImplementedError
 
     def _init_carry(self, B, J, dtype):
@@ -87,18 +96,33 @@ class _GraphGatedRecurrent(ClassificationModel):
     def _layer(self, name: str, x: jnp.ndarray, op: jnp.ndarray):
         B, L, J, C = x.shape
         params = {g: self._gate_params(name, g, C) for g in self.gates}
-        # input-side convs for the whole clip at once (time-independent)
-        x_gates = {g: cheb_apply(op, x, params[g][0], params[g][1])
-                   for g in self.gates}
-        xs = {g: jnp.swapaxes(v, 0, 1) for g, v in x_gates.items()}  # (L,B,J,F)
+        # input-side convs for the whole clip at once (time-independent),
+        # all gates fused into one (k·C, G·H) matmul
+        x_all = cheb_stack(op, x, self.k) @ jnp.concatenate(
+            [jnp.concatenate(list(params[g][0]), axis=0)
+             for g in self.gates], axis=1) + jnp.concatenate(
+            [params[g][1] for g in self.gates])
+        H = self.hidden_size
+        x_gates = {g: x_all[..., i * H:(i + 1) * H]
+                   for i, g in enumerate(self.gates)}
+        # hidden-side weights fused per gate *group* (gates convolving the
+        # same vector share one Chebyshev expansion + one wide matmul in the
+        # scan body — the sequential per-frame chain is the bottleneck)
+        hidden_weights = {
+            group[0]: (jnp.concatenate(
+                [jnp.concatenate(list(params[g][2]), axis=0) for g in group],
+                axis=1),
+                jnp.concatenate([params[g][3] for g in group]))
+            for group in self._hidden_groups}
 
         def step(carry, xt):
-            return self._cell(op, params, carry, xt)
+            return self._cell(op, hidden_weights, carry,
+                              {g: xt[i] for i, g in enumerate(self.gates)})
 
-        stacked = jnp.stack([xs[g] for g in self.gates], axis=1)  # (L,G,B,J,F)
-        _, ys = jax.lax.scan(
-            lambda c, xt: step(c, {g: xt[i] for i, g in enumerate(self.gates)}),
-            self._init_carry(B, J, x.dtype), stacked)
+        stacked = jnp.stack(
+            [jnp.swapaxes(x_gates[g], 0, 1) for g in self.gates],
+            axis=1)  # (L, G, B, J, F)
+        _, ys = jax.lax.scan(step, self._init_carry(B, J, x.dtype), stacked)
         return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
 
     @nn.compact
@@ -112,13 +136,16 @@ class _GraphGatedRecurrent(ClassificationModel):
 
 
 class _GraphGRUCellMixin:
-    def _cell(self, op, params, h, xg):
-        def hconv(gate, v):
-            wx, bx, wh, bh = params[gate]
-            return cheb_apply(op, v, wh, bh)
-        z = nn.sigmoid(xg["z"] + hconv("z", h))
-        r = nn.sigmoid(xg["r"] + hconv("r", h))
-        h_tilde = nn.tanh(xg["h"] + hconv("h", r * h))
+    # z and r both convolve h -> one fused matmul; h~ convolves r*h
+    _hidden_groups = (("z", "r"), ("h",))
+
+    def _cell(self, op, hw, h, xg):
+        H = self.hidden_size
+        zr = cheb_stack(op, h, self.k) @ hw["z"][0] + hw["z"][1]
+        z = nn.sigmoid(xg["z"] + zr[..., :H])
+        r = nn.sigmoid(xg["r"] + zr[..., H:])
+        h_tilde = nn.tanh(
+            xg["h"] + cheb_stack(op, r * h, self.k) @ hw["h"][0] + hw["h"][1])
         h_new = z * h + (1 - z) * h_tilde
         return h_new, h_new
 
@@ -145,25 +172,21 @@ class TGCN(_GraphGRUCellMixin, _GraphGatedRecurrent):
 class GConvLSTM(_GraphGatedRecurrent):
     """Chebyshev graph-conv LSTM (torch_geometric_temporal GConvLSTM)."""
     gates: Sequence[str] = ("i", "f", "c", "o")
+    # all four gates convolve h -> the whole step is one fused matmul
+    _hidden_groups = (("i", "f", "c", "o"),)
 
     def _init_carry(self, B, J, dtype):
         zeros = jnp.zeros((B, J, self.hidden_size), dtype)
         return (zeros, zeros)
 
-    def _layer(self, name, x, op):
-        out = super()._layer(name, x, op)
-        return out
-
-    def _cell(self, op, params, carry, xg):
+    def _cell(self, op, hw, carry, xg):
         h, c = carry
-
-        def hconv(gate, v):
-            wx, bx, wh, bh = params[gate]
-            return cheb_apply(op, v, wh, bh)
-        i = nn.sigmoid(xg["i"] + hconv("i", h))
-        f = nn.sigmoid(xg["f"] + hconv("f", h))
-        g = nn.tanh(xg["c"] + hconv("c", h))
-        o = nn.sigmoid(xg["o"] + hconv("o", h))
+        H = self.hidden_size
+        acts = cheb_stack(op, h, self.k) @ hw["i"][0] + hw["i"][1]
+        i = nn.sigmoid(xg["i"] + acts[..., :H])
+        f = nn.sigmoid(xg["f"] + acts[..., H:2 * H])
+        g = nn.tanh(xg["c"] + acts[..., 2 * H:3 * H])
+        o = nn.sigmoid(xg["o"] + acts[..., 3 * H:])
         c_new = f * c + i * g
         h_new = o * nn.tanh(c_new)
         return (h_new, c_new), h_new
