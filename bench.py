@@ -328,6 +328,60 @@ def bench_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
     return out
 
 
+def bench_serving(batch_size=BATCH, clip_length=CLIP, steps=30, warmup=5):
+    """Serving-path latency: the exported StableHLO artifact (serving.py,
+    ``--mode=export``) round-tripped through serialize/deserialize and timed
+    end-to-end (jit of Exported.call). This is the production inference
+    number — no flow/model/framework code in the serving process."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.serving import (export_inference,
+                                                       load_inference)
+
+    cfg = Carla2D3DConfig(batch_size=batch_size, clip_length=clip_length)
+    batch = generate_batch(jax.random.PRNGKey(0), cfg)
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d_3d],
+        movements_optimizer=OptimizerSettings(lr=1e-3))
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+    inputs = np.asarray(batch[0])
+    agi = np.asarray(batch[2]["age_gender_idx"])
+    with tempfile.TemporaryDirectory() as d:
+        path = export_inference(flow, state, inputs, agi,
+                                os.path.join(d, "model.jaxexp"))
+        call, _ = load_inference(path)
+    served = jax.jit(call)
+    inputs_dev = jax.device_put(inputs)
+    agi_dev = jax.device_put(agi)
+    for _ in range(warmup):
+        out = served(inputs_dev, agi_dev)
+    jax.block_until_ready(out)
+    dt = float("inf")
+    for _ in range(3):  # best-of-3 bursts (tunnel noise only subtracts)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = served(inputs_dev, agi_dev)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+    return {
+        "serving_infer_clips_per_sec": round(batch_size * steps / dt, 2),
+        "serving_infer_us_per_clip": round(dt / (steps * batch_size) * 1e6,
+                                           3),
+    }
+
+
 def bench_host_pipeline(num_clips=16384, batch=BATCH, epochs=3):
     """Streaming-epoch throughput with the HOST PIPELINE in the measured
     path: HDF5 subset on disk -> C++ native batch gather -> jit
@@ -478,6 +532,10 @@ def main():
                 bench_host_pipeline(), 2)
         except Exception as e:
             secondary["host_pipeline_error"] = repr(e)[:120]
+        try:
+            secondary.update(bench_serving())
+        except Exception as e:
+            secondary["serving_error"] = repr(e)[:120]
     print(json.dumps({
         "metric": "pose_lifting_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),

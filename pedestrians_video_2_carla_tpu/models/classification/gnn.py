@@ -52,13 +52,6 @@ def cheb_stack(op: jnp.ndarray, x: jnp.ndarray, k: int) -> jnp.ndarray:
     return ts[0] if k == 1 else jnp.concatenate(ts, axis=-1)
 
 
-def cheb_apply(op: jnp.ndarray, x: jnp.ndarray,
-               weights: Sequence[jnp.ndarray], bias: jnp.ndarray):
-    """K-order Chebyshev conv: sum_k T_k(op) x W_k + b; x: (..., J, C)."""
-    return cheb_stack(op, x, len(weights)) @ jnp.concatenate(
-        list(weights), axis=0) + bias
-
-
 class _GraphGatedRecurrent(ClassificationModel):
     """Shared machinery: two recurrent graph layers (gates defined by
     subclass) + mean pool + Dense (reference ``gnn/rnn.py:8-70``)."""
