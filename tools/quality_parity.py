@@ -493,7 +493,8 @@ class _nullcontext:
 # ---------------------------------------------------------------------------
 # JAX training loops (the rebuild, through its real flow steps)
 # ---------------------------------------------------------------------------
-def train_jax_flow(flow, train, val, epochs, metric_fn, seed=0):
+def train_jax_flow(flow, train, val, epochs, metric_fn, seed=0,
+                   loss_key=None):
     import jax
 
     state = flow.init_state(jax.random.PRNGKey(seed), train[0])
@@ -505,7 +506,7 @@ def train_jax_flow(flow, train, val, epochs, metric_fn, seed=0):
         for i, b in enumerate(train):
             state, logs = train_step(state, b,
                                      jax.random.fold_in(rng, epoch * 997 + i))
-        primary_name = flow.requested_loss_modes[0].name
+        primary_name = loss_key or flow.requested_loss_modes[0].name
         stats = []
         for b in val:
             loss_dict, preds, targets = eval_step(state, b)
@@ -576,6 +577,89 @@ def jax_seq2seq_ae(train, val, epochs, seed=0):
 
 
 # ---------------------------------------------------------------------------
+# classification parity: reference LSTM classifier vs the JAX rebuild
+# ---------------------------------------------------------------------------
+def relabel_classification(batches, thr=None):
+    """Replace the synthetic random ``crossing`` labels (``generate_batch``
+    draws them i.i.d. Bernoulli, so they are unlearnable by construction)
+    with a deterministic, learnable function of the input clip: whether the
+    clip's motion energy — mean squared frame-to-frame joint displacement in
+    the normalized input space the classifier actually sees — exceeds the
+    train-set median. Both frameworks get identical inputs AND labels, so
+    the comparison isolates training dynamics."""
+    energies = []
+    for inputs, _, _ in batches:
+        d = np.diff(np.asarray(inputs[..., :2]), axis=1)
+        energies.append((d ** 2).sum(-1).mean((1, 2)))
+    if thr is None:
+        thr = float(np.median(np.concatenate(energies)))
+    out = []
+    for (inputs, targets, meta), e in zip(batches, energies):
+        t = dict(targets)
+        t["crossing"] = (e > thr).astype(np.int32)
+        out.append((inputs, t, meta))
+    return out, thr
+
+
+def train_torch_classifier(train, val, epochs, seed=0):
+    """torch replica of the reference LSTM classifier
+    (``modules/classification/lstm.py:9-95``): identity embedding -> 2-layer
+    LSTM(64) -> Linear(num_classes), last-frame logits, CE loss (multiclass
+    output type; reference ``classification.py:77-80``), AdamW. Note the
+    reference's ``self.dropout(x)`` calls discard their result, so the
+    reference model effectively trains WITHOUT dropout — the replica and the
+    JAX side (p_dropout=0) both reproduce that actual behavior."""
+    import torch
+
+    torch.manual_seed(seed)
+    in_size = int(np.prod(train[0][0].shape[2:]))
+    model = torch.nn.ModuleDict({
+        "lstm": torch.nn.LSTM(in_size, 64, num_layers=2, batch_first=True),
+        "head": torch.nn.Linear(64, 2)})
+    opt = torch.optim.AdamW(model.parameters(), lr=LR,
+                            weight_decay=WEIGHT_DECAY)
+    ce = torch.nn.CrossEntropyLoss()
+
+    def step(batch, training):
+        inputs, targets, _ = batch
+        x = torch.tensor(np.asarray(inputs)).reshape(
+            inputs.shape[0], inputs.shape[1], -1)
+        y = torch.tensor(np.asarray(targets["crossing"]), dtype=torch.long)
+        h, _ = model["lstm"](x)
+        logits = model["head"](h[:, -1, :])
+        loss = ce(logits, y)
+        if training:
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        acc = float((logits.detach().argmax(-1) == y).float().mean())
+        return float(loss.detach()), acc
+
+    return _run_epochs(step, train, val, epochs, torch_mode=True)
+
+
+def jax_classification(train, val, epochs, seed=0):
+    from pedestrians_video_2_carla_tpu.flows.classification import \
+        ClassificationFlow
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.classification import \
+        CLASSIFICATION_MODELS
+
+    flow = ClassificationFlow(
+        classification_model=CLASSIFICATION_MODELS["LSTM"](p_dropout=0.0),
+        classification_optimizer=OptimizerSettings(
+            lr=LR, weight_decay=WEIGHT_DECAY))
+
+    def accuracy(preds, targets):
+        logits = np.asarray(preds["crossing_logits"])
+        return float((logits.argmax(-1)
+                      == np.asarray(targets["crossing"])).mean())
+
+    return train_jax_flow(flow, train, val, epochs, accuracy, seed,
+                          loss_key="primary")
+
+
+# ---------------------------------------------------------------------------
 def geometry_self_check(train):
     """torch chain must match the JAX projection pipeline on real data."""
     import jax
@@ -607,7 +691,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="all",
                     choices=["all", "linear_ae", "seq2seq_ae",
-                             "pose_former"])
+                             "pose_former", "classification"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--train_batches", type=int, default=8)
     ap.add_argument("--val_batches", type=int, default=2)
@@ -647,6 +731,8 @@ def main():
         # center-frame supervision) — the reference's window semantics
         "pose_former": (train_torch_pose_former, jax_pose_former,
                         ("val_loss", "MPJPE_mm"), 9),
+        "classification": (train_torch_classifier, jax_classification,
+                           ("val_loss", "Accuracy"), None),
     }
     datasets = {None: (train, val)}
     for name, (torch_fn, jax_fn, labels, clip) in configs.items():
@@ -657,6 +743,10 @@ def main():
                 args.train_batches, args.val_batches, args.batch_size, clip)
         c_train, c_val = datasets[clip]
         entry = {"metrics": labels, "epochs": args.epochs}
+        if name == "classification":
+            c_train, thr = relabel_classification(c_train)
+            c_val, _ = relabel_classification(c_val, thr)
+            entry["label_energy_threshold"] = thr
         for side, fn in (("torch", torch_fn), ("jax", jax_fn)):
             runs = []
             for seed in range(args.seeds):
@@ -678,7 +768,8 @@ def main():
     # markdown summary
     print("\n| config | metric | torch (best) | jax (best) |")
     print("|---|---|---|---|")
-    for name in ("linear_ae", "seq2seq_ae", "pose_former"):
+    for name in ("linear_ae", "seq2seq_ae", "pose_former",
+                 "classification"):
         if name not in results:
             continue
         e = results[name]
