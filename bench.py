@@ -358,28 +358,48 @@ def bench_serving(batch_size=BATCH, clip_length=CLIP, steps=30, warmup=5):
     state = flow.init_state(jax.random.PRNGKey(1), batch)
     inputs = np.asarray(batch[0])
     agi = np.asarray(batch[2]["age_gender_idx"])
-    with tempfile.TemporaryDirectory() as d:
-        path = export_inference(flow, state, inputs, agi,
-                                os.path.join(d, "model.jaxexp"))
-        call, _ = load_inference(path)
-    served = jax.jit(call)
-    inputs_dev = jax.device_put(inputs)
-    agi_dev = jax.device_put(agi)
-    for _ in range(warmup):
-        out = served(inputs_dev, agi_dev)
-    jax.block_until_ready(out)
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 bursts (tunnel noise only subtracts)
-        t0 = time.perf_counter()
-        for _ in range(steps):
+
+    def _time_artifact(flow_, output_keys=None):
+        with tempfile.TemporaryDirectory() as d:
+            path = export_inference(flow_, state, inputs, agi,
+                                    os.path.join(d, "model.jaxexp"),
+                                    output_keys=output_keys)
+            call, _ = load_inference(path)
+        served = jax.jit(call)
+        inputs_dev = jax.device_put(inputs)
+        agi_dev = jax.device_put(agi)
+        for _ in range(warmup):
             out = served(inputs_dev, agi_dev)
         jax.block_until_ready(out)
-        dt = min(dt, time.perf_counter() - t0)
-    return {
+        dt = float("inf")
+        for _ in range(3):  # best-of-3 bursts (noise only subtracts)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = served(inputs_dev, agi_dev)
+            jax.block_until_ready(out)
+            dt = min(dt, time.perf_counter() - t0)
+        return dt
+
+    dt = _time_artifact(flow)
+    results = {
         "serving_infer_clips_per_sec": round(batch_size * steps / dt, 2),
         "serving_infer_us_per_clip": round(dt / (steps * batch_size) * 1e6,
                                            3),
     }
+    # lean 2D-only artifact on the hand-written Pallas kernel
+    # (--projection_kernel pallas --export_keys projection_2d)
+    flow_pal = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d_3d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        projection_kernel="pallas")
+    try:
+        dt_pal = _time_artifact(flow_pal, output_keys=("projection_2d",))
+        results["serving_infer_pallas_2d_us_per_clip"] = round(
+            dt_pal / (steps * batch_size) * 1e6, 3)
+    except Exception as e:  # pallas export can fail off-TPU
+        results["serving_pallas_error"] = repr(e)[:120]
+    return results
 
 
 def bench_host_pipeline(num_clips=16384, batch=BATCH, epochs=3):

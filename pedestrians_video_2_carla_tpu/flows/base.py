@@ -47,6 +47,7 @@ class BaseFlow:
                  transform: str = "hips_neck",
                  precision: str = "32",
                  gradient_clip_val: float = 0.0,
+                 projection_kernel: str = "xla",
                  **kwargs):
         self.movements_model = movements_model \
             if movements_model is not None else ZeroMovements()
@@ -76,6 +77,10 @@ class BaseFlow:
         #: global-norm gradient clipping (the Lightning --gradient_clip_val
         #: Trainer flag); 0 = off
         self.gradient_clip_val = float(gradient_clip_val or 0.0)
+        #: which fused-projection implementation flows with a ProjectionModule
+        #: use ("xla" default; "pallas" = hand-written TPU kernel for
+        #: forward-only paths — see ops/projection.py)
+        self.projection_kernel = projection_kernel
         self.outputs_key = "projection_2d" if transform in (None, "none") \
             else "projection_2d_transformed"
 

@@ -19,6 +19,7 @@ class PoseLiftingFlow(BaseFlow):
         self.projection = ProjectionModule(
             movements_output_type=self.movements_model.output_type,
             trajectory_output_type=self.trajectory_model.output_type,
+            kernel=self.projection_kernel,
         )
 
     @classmethod

@@ -39,6 +39,10 @@ def add_program_args(parser: argparse.ArgumentParser):
                                  "export"])
     parser.add_argument("--data_module_name", default="Carla2D3D")
     parser.add_argument("--predict_sets", nargs="+", default=["test"])
+    parser.add_argument("--export_keys", nargs="+", default=None,
+                        help="restrict the --mode=export artifact's outputs "
+                             "(e.g. projection_2d); unused outputs are "
+                             "dead-code-eliminated from the serving graph")
     parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
     parser.add_argument("--root_dir", default="outputs")
     parser.add_argument("--logs_dir", default=None)
@@ -138,6 +142,12 @@ def add_flow_args(parser: argparse.ArgumentParser):
     group.add_argument("--movements_output_type",
                        default="pose_changes",
                        choices=[t.name for t in MovementsModelOutputType])
+    group.add_argument("--projection_kernel", default="xla",
+                       choices=["xla", "pallas"],
+                       help="pallas = hand-written fused FK+projection TPU "
+                            "kernel on the pose_changes forward path (~20% "
+                            "faster forward-only; use for predict/export "
+                            "serving — training backward stays XLA)")
     list_arg_as_flat_args(group, "loss_params", 26, None, float)
     return parser
 
@@ -321,6 +331,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         transform=args.transform,
         precision=args.precision,
         gradient_clip_val=args.gradient_clip_val,
+        projection_kernel=args.projection_kernel,
         classification_targets_key=args.classification_targets_key
         or "crossing",
         classification_average=args.classification_average,
@@ -462,7 +473,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         path = os.path.join(trainer.log_dir, "exported", "model.jaxexp")
         results["export_path"] = export_inference(
             flow, trainer.state, _np.asarray(sample[0]),
-            _np.asarray(sample[2]["age_gender_idx"]), path)
+            _np.asarray(sample[2]["age_gender_idx"]), path,
+            output_keys=tuple(args.export_keys) if args.export_keys else None)
         print(f"exported inference artifact: {path}")
     return results
 

@@ -51,10 +51,24 @@ class ProjectionModule:
                  MovementsModelOutputType.pose_changes,
                  trajectory_output_type: TrajectoryModelOutputType =
                  TrajectoryModelOutputType.changes,
-                 camera: Optional[C.PinholeCamera] = None) -> None:
+                 camera: Optional[C.PinholeCamera] = None,
+                 kernel: str = "xla") -> None:
         self.movements_output_type = movements_output_type
         self.trajectory_output_type = trajectory_output_type
         self.camera = camera if camera is not None else C.make_camera()
+        if kernel not in ("xla", "pallas"):
+            raise ValueError(f"unknown projection kernel {kernel!r}")
+        #: "pallas" routes the projections through the hand-written fused
+        #: TPU kernel (``ops/pallas/fused_projection.py``) on the
+        #: pose_changes + identity-world fast path — ~20% faster forward
+        #: than the XLA plane path at batch >= 512 (see docs/PERFORMANCE.md),
+        #: intended for inference/serving where only the 2D output is
+        #: consumed. Other configs (relative_rot, world track) and the 3D
+        #: outputs dict always use the XLA plane path; under jit the unused
+        #: one is dead-code-eliminated. Training works (custom VJP with an
+        #: XLA backward) but replays the XLA forward in the vjp, so "xla"
+        #: stays the training default.
+        self.kernel = kernel
 
     def __call__(self,
                  state: ProjectionState,
@@ -137,7 +151,12 @@ class ProjectionModule:
         w_loc = None if identity_world else world_loc
         w_rot = None if identity_world else world_rot
 
-        if abs_loc_planes is not None:
+        if (self.kernel == "pallas" and identity_world
+                and mot == MovementsModelOutputType.pose_changes):
+            from .pallas.fused_projection import fused_projection
+            projections = fused_projection(
+                pose_inputs, state.rel_loc, state.rel_rot, self.camera)
+        elif abs_loc_planes is not None:
             sx, sy, vz = C.project_pose_planes(
                 self.camera, abs_loc_planes, world_loc=w_loc, world_rot=w_rot)
             projections = jnp.stack([sx, sy, vz], axis=-1)

@@ -23,12 +23,19 @@ import numpy as np
 from jax import export as jax_export
 
 
-def make_inference_fn(flow, state) -> Callable[..., Dict[str, Any]]:
+def make_inference_fn(flow, state, output_keys=None
+                      ) -> Callable[..., Dict[str, Any]]:
     """Pure inference closure over the trained params/mutables.
 
     Works for the BaseFlow family (pose_lifting / autoencoder /
     pose_estimation: ``_inner_step`` with empty targets) and for
     ClassificationFlow (logits head).
+
+    ``output_keys`` restricts the returned dict (and therefore what the
+    exported computation contains — everything else is dead-code-eliminated
+    at lowering). E.g. ``("projection_2d",)`` exports a pure 2D-screen
+    artifact with no FK outputs materialized, which pairs with
+    ``--projection_kernel pallas`` for the leanest serving graph.
     """
     params = jax.device_get(state.params)
     mutables = jax.device_get(state.mutables)
@@ -39,7 +46,15 @@ def make_inference_fn(flow, state) -> Callable[..., Dict[str, Any]]:
             sliced, _ = flow._inner_step(
                 params, mutables, batch, training=False, rngs=None)
             preds = flow._metric_preds(sliced)
-            return {k: v for k, v in preds.items() if v is not None}
+            preds = {k: v for k, v in preds.items() if v is not None}
+            if output_keys is not None:
+                missing = set(output_keys) - set(preds)
+                if missing:
+                    raise KeyError(
+                        f"output_keys {sorted(missing)} not produced by "
+                        f"{type(flow).__name__}; available: {sorted(preds)}")
+                preds = {k: preds[k] for k in output_keys}
+            return preds
         return infer
 
     def infer(inputs, age_gender_idx):  # ClassificationFlow
@@ -49,13 +64,13 @@ def make_inference_fn(flow, state) -> Callable[..., Dict[str, Any]]:
 
 
 def export_inference(flow, state, sample_inputs, sample_age_gender_idx,
-                     path: str) -> str:
+                     path: str, output_keys=None) -> str:
     """Serialize the flow's inference function to ``path`` (+ ``.json`` meta).
 
     Shapes are fixed to the sample's (static shapes are the TPU serving
     contract anyway — pick the serving batch size here).
     """
-    infer = make_inference_fn(flow, state)
+    infer = make_inference_fn(flow, state, output_keys=output_keys)
     args = (jax.ShapeDtypeStruct(np.shape(sample_inputs),
                                  np.asarray(sample_inputs).dtype),
             jax.ShapeDtypeStruct(np.shape(sample_age_gender_idx),

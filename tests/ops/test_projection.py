@@ -98,6 +98,35 @@ def test_loc_rot_trajectory_passthrough(state):
     np.testing.assert_allclose(np.asarray(outputs["world_loc"]), 0.5)
 
 
+def test_pallas_kernel_option_matches_xla(state):
+    # kernel="pallas" (interpreted on CPU) must reproduce the XLA plane path
+    # on the pose_changes + identity-world fast path, and silently fall back
+    # to XLA when a world track makes the kernel inapplicable
+    key = jax.random.PRNGKey(3)
+    changes = np.asarray(eye_batch((B, L, J), 3)) \
+        + 0.01 * jax.random.normal(key, (B, L, J, 3, 3))
+    pm_xla = ProjectionModule(MovementsModelOutputType.pose_changes)
+    pm_pal = ProjectionModule(MovementsModelOutputType.pose_changes,
+                              kernel="pallas")
+    p_ref, o_ref = pm_xla(state, changes)
+    p_pal, o_pal = pm_pal(state, changes)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               rtol=1e-5, atol=1e-4)
+    # the 3D outputs dict stays on the XLA path either way
+    np.testing.assert_allclose(np.asarray(o_pal["absolute_pose_loc"]),
+                               np.asarray(o_ref["absolute_pose_loc"]),
+                               atol=1e-6)
+    # world track: pallas module falls back to the (world-aware) XLA path
+    dloc = jnp.zeros((B, L, 3)).at[:, :, 0].set(0.1)
+    p_w_ref, _ = pm_xla(state, changes, world_loc_inputs=dloc)
+    p_w_pal, _ = pm_pal(state, changes, world_loc_inputs=dloc)
+    np.testing.assert_allclose(np.asarray(p_w_pal), np.asarray(p_w_ref),
+                               atol=1e-6)
+
+    with pytest.raises(ValueError, match="kernel"):
+        ProjectionModule(kernel="bogus")
+
+
 def test_projection_is_jit_and_grad_compatible(state):
     pm = ProjectionModule(MovementsModelOutputType.pose_changes)
 

@@ -53,6 +53,42 @@ def test_export_roundtrip_matches_direct(lifting_setup, tmp_path):
     assert sorted(direct) == info["output_keys"]
 
 
+def test_export_output_keys_and_pallas_kernel(lifting_setup, tmp_path):
+    """--export_keys filtering + the lean 2D-only Pallas-kernel artifact
+    (--projection_kernel pallas): filtered outputs match the full XLA
+    artifact's projection_2d; unknown keys fail loudly."""
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+
+    flow, state, batch = lifting_setup
+    inputs, _, meta = batch
+    agi = np.asarray(meta["age_gender_idx"])
+    direct = jax.jit(make_inference_fn(flow, state))(inputs, agi)
+
+    flow_pal = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        projection_kernel="pallas")
+    path = export_inference(flow_pal, state, inputs, agi,
+                            str(tmp_path / "lean.jaxexp"),
+                            output_keys=("projection_2d",))
+    call, info = load_inference(path)
+    served = call(inputs, agi)
+    assert set(served) == {"projection_2d"}
+    assert info["output_keys"] == ["projection_2d"]
+    np.testing.assert_allclose(np.asarray(served["projection_2d"]),
+                               np.asarray(direct["projection_2d"]),
+                               rtol=1e-5, atol=1e-4)
+
+    with pytest.raises(KeyError, match="not produced"):
+        make_inference_fn(flow, state, output_keys=("nope",))(inputs, agi)
+
+
 def test_export_rejects_wrong_shape(lifting_setup, tmp_path):
     flow, state, batch = lifting_setup
     inputs, _, meta = batch
