@@ -429,6 +429,109 @@ def jax_pose_former(train, val, epochs, seed=0):
     return train_jax_flow(flow, train, val, epochs, mpjpe, seed)
 
 
+def _torch_video_pose_3d(filter_widths=(3, 3), channels=256):
+    """Compact replica of the public VideoPose3D ``TemporalModel``
+    (facebookresearch/VideoPose3D common/model.py) in dense/padded mode:
+    dilated VALID temporal convs (bias=False, BN follows — as upstream),
+    residual blocks, replicate edge padding so every frame is predicted.
+    Sized down (rf 9, 256 ch) identically to the JAX side for the study."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    rf = 1
+    for w in filter_widths:
+        rf *= w
+
+    class TemporalModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = nn.Conv1d(J * 2, channels, filter_widths[0],
+                                    bias=False)
+            self.expand_bn = nn.BatchNorm1d(channels)
+            convs, bns, dilations = [], [], []
+            dilation = filter_widths[0]
+            for w in filter_widths[1:]:
+                convs += [nn.Conv1d(channels, channels, w,
+                                    dilation=dilation, bias=False),
+                          nn.Conv1d(channels, channels, 1, bias=False)]
+                bns += [nn.BatchNorm1d(channels), nn.BatchNorm1d(channels)]
+                dilations.append(dilation)
+                dilation *= w
+            self.convs = nn.ModuleList(convs)
+            self.bns = nn.ModuleList(bns)
+            self.dilations = dilations
+            self.widths = list(filter_widths[1:])
+            self.shrink = nn.Conv1d(channels, J * 3, 1)
+
+        def forward(self, x):                      # (B, L, J, 2)
+            B_, L_ = x.shape[:2]
+            h = x.reshape(B_, L_, J * 2).permute(0, 2, 1)
+            h = F.pad(h, (rf // 2, rf // 2), mode="replicate")
+            h = F.relu(self.expand_bn(self.expand(h)))
+            for i, (w, d) in enumerate(zip(self.widths, self.dilations)):
+                crop = d * (w - 1) // 2
+                res = h[:, :, crop:h.shape[2] - crop]
+                y = F.relu(self.bns[2 * i](self.convs[2 * i](h)))
+                y = F.relu(self.bns[2 * i + 1](self.convs[2 * i + 1](y)))
+                h = res + y
+            out = self.shrink(h).permute(0, 2, 1)
+            return out.reshape(B_, L_, J, 3)
+
+    return TemporalModel
+
+
+def train_torch_video_pose_3d(train, val, epochs, seed=0):
+    import torch
+
+    TemporalModel = _torch_video_pose_3d()
+    denorm = _torch_denorm_from_abs()
+    torch.manual_seed(seed)
+    model = TemporalModel()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR,
+                            weight_decay=WEIGHT_DECAY)
+
+    def step(batch, training):
+        inputs, targets, meta = batch
+        model.train(training)
+        x = torch.tensor(inputs[..., :2])
+        agi = torch.tensor(meta["age_gender_idx"], dtype=torch.long)
+        gt = torch.tensor(targets["absolute_pose_loc"])
+        pred = denorm(model(x), agi)
+        loss = ((pred - gt) ** 2).mean()
+        if training:
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        mpjpe = 1000.0 * torch.linalg.norm(pred - gt, dim=-1).mean()
+        return float(loss.detach()), float(mpjpe.detach())
+
+    return _run_epochs(step, train, val, epochs, torch_mode=True)
+
+
+def jax_video_pose_3d(train, val, epochs, seed=0):
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["VideoPose3D"](
+            filter_widths=(3, 3), channels=256, p_dropout=0.0),
+        loss_modes=[LossModes.loc_3d],
+        movements_optimizer=OptimizerSettings(lr=LR,
+                                              weight_decay=WEIGHT_DECAY))
+
+    def mpjpe(preds, targets):
+        return float(1000.0 * np.linalg.norm(
+            np.asarray(preds["absolute_pose_loc"])
+            - np.asarray(targets["absolute_pose_loc"]), axis=-1).mean())
+
+    return train_jax_flow(flow, train, val, epochs, mpjpe, seed)
+
+
 def train_torch_seq2seq_ae(train, val, epochs, seed=0):
     import torch
 
@@ -691,7 +794,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="all",
                     choices=["all", "linear_ae", "seq2seq_ae",
-                             "pose_former", "classification"])
+                             "pose_former", "classification",
+                             "video_pose_3d"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--train_batches", type=int, default=8)
     ap.add_argument("--val_batches", type=int, default=2)
@@ -733,6 +837,10 @@ def main():
                         ("val_loss", "MPJPE_mm"), 9),
         "classification": (train_torch_classifier, jax_classification,
                            ("val_loss", "Accuracy"), None),
+        # VideoPose3D dense/padded mode predicts every frame (no eval
+        # slice); sized to rf 9 / 256 ch on both sides for the CPU study
+        "video_pose_3d": (train_torch_video_pose_3d, jax_video_pose_3d,
+                          ("val_loss", "MPJPE_mm"), None),
     }
     datasets = {None: (train, val)}
     for name, (torch_fn, jax_fn, labels, clip) in configs.items():
@@ -769,7 +877,7 @@ def main():
     print("\n| config | metric | torch (best) | jax (best) |")
     print("|---|---|---|---|")
     for name in ("linear_ae", "seq2seq_ae", "pose_former",
-                 "classification"):
+                 "classification", "video_pose_3d"):
         if name not in results:
             continue
         e = results[name]
