@@ -49,6 +49,16 @@ def test_pose_lifting_output_types(model, output_type):
     assert results["val_metrics"]["val_loss/primary"] >= 0
 
 
+def test_pose_lifting_pallas_projection_kernel():
+    # --projection_kernel pallas must train end-to-end (Pallas forward in
+    # interpret mode on CPU, custom-VJP XLA backward) and produce finite
+    # losses/metrics
+    results = _run("--flow=pose_lifting", "--movements_model_name=Linear",
+                   "--loss_modes", "loc_2d", "--projection_kernel", "pallas")
+    vm = results["val_metrics"]
+    assert vm["val_loss/primary"] > 0 and vm["val/MPJPE"] > 0
+
+
 def test_pose_lifting_lstm_and_weighted_loss():
     results = _run("--flow=pose_lifting", "--movements_model_name=LSTM",
                    "--loss_modes", "weighted_loc_2d_loc_rot_3d",
