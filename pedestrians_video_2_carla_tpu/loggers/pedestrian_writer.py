@@ -22,7 +22,9 @@ class PedestrianWriter:
                  fps: float = 30.0, max_videos: int = 4,
                  video_saving_frequency_reduction: int = 10,
                  log_every_n_steps: int = 50, merging_method: str = "square",
-                 source_videos_dir=None, **kwargs):
+                 source_videos_dir=None, overlay_skeletons: bool = True,
+                 overlay_bboxes: bool = True, overlay_classes: bool = False,
+                 **kwargs):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.renderers = [r for r in renderers if r and r != "none"]
@@ -34,6 +36,9 @@ class PedestrianWriter:
         self.input_nodes = input_nodes
         self.output_nodes = output_nodes
         self.source_videos_dir = source_videos_dir
+        self.overlay_skeletons = overlay_skeletons
+        self.overlay_bboxes = overlay_bboxes
+        self.overlay_classes = overlay_classes
         self._input_renderer = PointsRenderer(input_nodes)
         self._output_renderer = PointsRenderer(output_nodes)
         self._zeros = ZerosRenderer()
@@ -97,7 +102,10 @@ class PedestrianWriter:
             rendered = list(SourceVideosRenderer(
                 source_videos_dir=self.source_videos_dir,
                 input_nodes=self.input_nodes,
-                output_nodes=self.output_nodes).render(
+                output_nodes=self.output_nodes,
+                overlay_skeletons=self.overlay_skeletons,
+                overlay_bboxes=self.overlay_bboxes,
+                overlay_classes=self.overlay_classes).render(
                 meta=meta, targets=targets,
                 input_points=targets.get("projection_2d"),
                 output_points=out_pts))

@@ -53,7 +53,22 @@ def add_program_args(parser: argparse.ArgumentParser):
                         help="capture a jax.profiler device trace of the fit "
                              "loop under {log_dir}/trace and print host-side "
                              "timing accumulators at exit")
+    parser.add_argument("--verbose", "-v", action="store_true",
+                        help="logging level INFO (reference --verbose)")
+    parser.add_argument("--very_verbose", "-vv", action="store_true",
+                        help="logging level DEBUG (reference --very_verbose)")
     parser.add_argument("--renderers", nargs="*", default=["none"])
+    parser.add_argument("--source_videos_overlay_skeletons", type=boolean,
+                        default=False,
+                        help="draw skeleton overlays in the source_videos "
+                             "renderer (reference flag of the same name; "
+                             "reference default False)")
+    parser.add_argument("--source_videos_overlay_bboxes", type=boolean,
+                        default=False)
+    parser.add_argument("--source_videos_overlay_classes", type=boolean,
+                        default=False,
+                        help="draw the classification label (e.g. crossing) "
+                             "on source-video frames")
     parser.add_argument("--max_videos", type=int, default=4)
     parser.add_argument("--video_saving_frequency_reduction", type=int,
                         default=10)
@@ -122,6 +137,25 @@ def add_datamodule_args(parser: argparse.ArgumentParser):
     group.add_argument("--classification_targets_key", default=None)
     group.add_argument("--num_classes", type=int, default=2)
     group.add_argument("--classification_average", default="macro")
+    group.add_argument("--tte", nargs=2, type=int, default=[30, 60],
+                       help="benchmark time-to-event window (reference "
+                            "--tte, benchmark_datamodule_mixin.py:4-73)")
+    group.add_argument("--train_proportions", nargs="+", type=float,
+                       default=None,
+                       help="mixed-datamodule member proportions "
+                            "(sum to 1, or -1/0 flags as in the reference)")
+    group.add_argument("--val_proportions", nargs="+", type=float,
+                       default=None)
+    group.add_argument("--test_proportions", nargs="+", type=float,
+                       default=None)
+    group.add_argument("--video_size", nargs=2, type=int, default=[256, 256],
+                       help="decoded video frame size (reference "
+                            "--frames_target_size)")
+    group.add_argument("--crop_to_bbox", type=boolean, default=True,
+                       help="square-crop video frames to the pedestrian "
+                            "bbox (reference --frames_bbox_crop)")
+    group.add_argument("--heatmaps_sigma", type=float, default=3.0)
+    group.add_argument("--heatmaps_stride", type=int, default=8)
     list_arg_as_flat_args(group, "missing_joint_probabilities", 26, None,
                           float)
     return parser
@@ -277,6 +311,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     args, flow_cls, dm_cls, model_choices = setup_flow(argv)
     args_dict = vars(args)
 
+    if args.very_verbose or args.verbose:
+        import logging
+        logging.basicConfig(
+            level=logging.DEBUG if args.very_verbose else logging.INFO)
+
     import os
 
     import jax
@@ -368,7 +407,14 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         augment_flip=args.augment_flip, augment_rotate=args.augment_rotate,
         balance_classes=args.balance_classes, label_frames=args.label_frames,
         num_classes=args.num_classes,
+        tte=tuple(args.tte),
+        video_size=tuple(args.video_size), crop_to_bbox=args.crop_to_bbox,
+        heatmaps_sigma=args.heatmaps_sigma,
+        heatmaps_stride=args.heatmaps_stride,
     )
+    for prop in ("train_proportions", "val_proportions", "test_proportions"):
+        if getattr(args, prop) is not None:
+            dm_kwargs[prop] = getattr(args, prop)
     if args.classification_targets_key:
         dm_kwargs["classification_targets_key"] = \
             args.classification_targets_key
@@ -425,7 +471,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             video_saving_frequency_reduction=
             args.video_saving_frequency_reduction,
             merging_method=args.merging_method,
-            source_videos_dir=args.source_videos_dir)
+            source_videos_dir=args.source_videos_dir,
+            overlay_skeletons=args.source_videos_overlay_skeletons,
+            overlay_bboxes=args.source_videos_overlay_bboxes,
+            overlay_classes=args.source_videos_overlay_classes)
     trainer = Trainer(flow, dm, config, video_logger=video_logger)
 
     dm.prepare_data()

@@ -21,13 +21,21 @@ class SourceVideosRenderer(Renderer):
     def __init__(self, source_videos_dir: Optional[str] = None,
                  input_nodes=CARLA_SKELETON, output_nodes=None,
                  overlay_skeletons: bool = True,
-                 overlay_bboxes: bool = True, **kwargs):
+                 overlay_bboxes: bool = True,
+                 overlay_classes: bool = False,
+                 class_key: str = "crossing", **kwargs):
         super().__init__(**kwargs)
         self.source_videos_dir = source_videos_dir
         self.input_nodes = input_nodes
         self.output_nodes = output_nodes or input_nodes
         self.overlay_skeletons = overlay_skeletons
         self.overlay_bboxes = overlay_bboxes
+        #: draw the classification label on each frame (reference
+        #: ``--source_videos_overlay_classes``; the reference left the label
+        #: assembly as a TODO hardcoded to 'crossing',
+        #: ``pedestrian_writer.py:313-315`` — implemented here)
+        self.overlay_classes = overlay_classes
+        self.class_key = class_key
 
     def _video_path(self, video_id: str) -> str:
         path = os.path.join(self.source_videos_dir or "", f"{video_id}")
@@ -97,4 +105,10 @@ class SourceVideosRenderer(Renderer):
                     if outputs_pts is not None:
                         self._draw_skeleton(frame, outputs_pts[i, t],
                                             self.output_nodes, OUTPUT_COLOR)
+                if self.overlay_classes \
+                        and targets.get(self.class_key) is not None:
+                    label = np.asarray(targets[self.class_key])[i]
+                    cv2.putText(frame, f"{self.class_key}={int(label)}",
+                                (4, 16), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                                BBOX_COLOR, 1, lineType=cv2.LINE_AA)
             yield frames
