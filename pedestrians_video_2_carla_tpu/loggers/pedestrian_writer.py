@@ -61,7 +61,25 @@ class PedestrianWriter:
                        np.zeros(len(inputs), dtype=np.int32))
         if name == "zeros":
             return list(self._zeros.render(frames=inputs))
-        if name in ("input_points", "source_carla"):
+        if name == "source_carla":
+            # live-CARLA render of the SOURCE (ground-truth) pose — the
+            # reference's source_carla renderer (pedestrian_writer.py:102-104
+            # + carla_renderer.py); degrades to points rendering of the
+            # inputs when no relative-pose targets exist (synthetic 2D-only
+            # data) and to black frames under the mock client
+            if targets.get("relative_pose_rot") is not None:
+                try:
+                    from ..renderers.carla_renderer import CarlaRenderer
+                    return list(CarlaRenderer().render(
+                        relative_pose_loc=targets.get("relative_pose_loc"),
+                        relative_pose_rot=targets.get("relative_pose_rot"),
+                        world_loc=targets.get("world_loc"),
+                        world_rot=targets.get("world_rot"), meta=meta))
+                except Exception:
+                    pass
+            pts = self._denormalize(inputs, agi, normalized)
+            return list(self._input_renderer.render(pts))
+        if name == "input_points":
             pts = self._denormalize(inputs, agi, normalized)
             return list(self._input_renderer.render(pts))
         if name == "target_points":

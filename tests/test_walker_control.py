@@ -314,3 +314,63 @@ def test_source_videos_renderer_overlays(tmp_path):
     clips = list(r.render(meta={"video_id": ["nope"], "start_frame": [0],
                                 "end_frame": [L]}, targets={}))
     assert clips[0].sum() == 0
+
+
+def test_writer_source_carla_renders(tmp_path):
+    """source_carla = live-CARLA render of the SOURCE pose (reference
+    ``pedestrian_writer.py:102-104``): with relative-pose targets it goes
+    through CarlaRenderer (mock client -> black frames); without them it
+    falls back to points-rendering the inputs."""
+    from pedestrians_video_2_carla_tpu.loggers.pedestrian_writer import \
+        PedestrianWriter
+    from pedestrians_video_2_carla_tpu.ops.reference_skeletons import \
+        reference_projections
+
+    ref = reference_projections()[:1, None, :, :2]
+    clip = np.asarray(np.broadcast_to(ref, (1, 3, 26, 2)))
+    writer = PedestrianWriter(str(tmp_path), renderers=["source_carla"])
+    meta = {"age_gender_idx": np.zeros(1, np.int32)}
+
+    # with pose targets: CarlaRenderer under the mock client -> black frames
+    targets = {
+        "relative_pose_loc": np.zeros((1, 3, 26, 3), np.float32),
+        "relative_pose_rot": np.broadcast_to(
+            np.eye(3, dtype=np.float32), (1, 3, 26, 3, 3)).copy(),
+    }
+    frames = writer._render("source_carla", clip, targets, {}, meta,
+                            normalized=False)
+    assert len(frames) == 1 and frames[0].sum() == 0
+
+    # without pose targets: falls back to points render of the inputs
+    frames = writer._render("source_carla", clip, {}, {}, meta,
+                            normalized=False)
+    assert len(frames) == 1 and frames[0].sum() > 0
+
+
+def test_source_videos_overlay_classes(tmp_path):
+    """--source_videos_overlay_classes draws the label text (the reference
+    left this as a TODO, ``pedestrian_writer.py:313-315``)."""
+    import cv2
+
+    from pedestrians_video_2_carla_tpu.renderers.source_videos_renderer import \
+        SourceVideosRenderer
+
+    path = tmp_path / "vid.mp4"
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         10, (160, 120))
+    for _ in range(4):
+        vw.write(np.full((120, 160, 3), 30, np.uint8))
+    vw.release()
+
+    meta = {"video_id": ["vid"], "start_frame": [0], "end_frame": [2]}
+    kw = dict(source_videos_dir=str(tmp_path), overlay_skeletons=False,
+              overlay_bboxes=False)
+    plain = list(SourceVideosRenderer(**kw).render(
+        meta=meta, targets={"crossing": np.asarray([1])}))
+    labeled = list(SourceVideosRenderer(overlay_classes=True, **kw).render(
+        meta=meta, targets={"crossing": np.asarray([1])}))
+    # codec decode is not bit-exact, so compare labeled vs plain: the text
+    # must change pixels in the top-left corner and nowhere else
+    diff = (labeled[0].astype(int) - plain[0].astype(int)) != 0
+    assert diff[:, :24, :120].any()             # text drawn top-left
+    assert not diff[:, 40:].any()               # rest of the frame untouched
