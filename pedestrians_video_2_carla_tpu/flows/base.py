@@ -12,6 +12,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..losses import (LossContext, LossModes, calculate_losses, primary_loss,
@@ -162,6 +163,56 @@ class BaseFlow:
         opt_state = self._tx.init(params)
         return FlowState(params=params, mutables=mutables,
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def current_lrs(self, state: "FlowState") -> Dict[str, float]:
+        """Effective per-model learning rates for step logging (the
+        reference attaches Lightning's ``LearningRateMonitor``,
+        ``modeling.py:240-247``). Schedule-based lrs are recomputed from the
+        step counter; ReduceLROnPlateau's stateful scale is read out of the
+        optimizer state."""
+        def plateau_scale(tree):
+            if hasattr(tree, "scale") and hasattr(tree, "plateau_count"):
+                return float(jax.device_get(tree.scale))
+            for child in (tree if isinstance(tree, (tuple, list)) else
+                          tree.values() if isinstance(tree, dict) else ()):
+                found = plateau_scale(child)
+                if found is not None:
+                    return found
+            return None
+
+        step = int(jax.device_get(state.step))
+        out = {}
+        for name, settings in self.optimizer_settings_map().items():
+            lr = settings.learning_rate
+            if settings.enable_lr_scheduler:
+                if settings.scheduler_type == "ReduceLROnPlateau":
+                    scale = plateau_scale(state.opt_state)
+                    if scale is not None:
+                        lr *= scale
+                elif settings.scheduler_type == "StepLR":
+                    lr *= settings.scheduler_gamma ** (
+                        step // max(1, settings.scheduler_step_size))
+                elif settings.scheduler_type == "CosineAnnealingWarmRestarts":
+                    period = max(1, settings.scheduler_step_size)
+                    t = (step % period) / period
+                    import math
+                    lr = settings.scheduler_min_lr + 0.5 * (
+                        lr - settings.scheduler_min_lr) * (
+                        1 + math.cos(math.pi * t))
+            out[f"lr-{name}"] = lr
+        return out
+
+    def optimizer_settings_map(self) -> Dict[str, OptimizerSettings]:
+        """Per-model optimizer settings, keyed like ``state.params``."""
+        return {"movements": self.movements_optimizer,
+                "trajectory": self.trajectory_optimizer}
+
+    def param_counts(self, state: "FlowState") -> Dict[str, int]:
+        """Per-model parameter counts (the reference attaches Lightning's
+        ``ModelSummary`` callback)."""
+        return {name: int(sum(
+            np.size(x) for x in jax.tree_util.tree_leaves(tree)))
+            for name, tree in state.params.items()}
 
     def _make_optimizer(self) -> optax.GradientTransformationExtraArgs:
         # one optimizer over the joint param tree with per-model hyperparams

@@ -13,7 +13,7 @@ from ..metrics.classification import (AUROC, Accuracy, ConfusionMatrixMetric,
                                       Recall)
 from ..models.base import OptimizerSettings
 from ..models.classification import CLASSIFICATION_MODELS
-from .base import FlowState
+from .base import BaseFlow, FlowState
 from .output_types import ClassificationModelOutputType
 
 
@@ -120,6 +120,14 @@ class ClassificationFlow:
         return False
 
     # -- state -------------------------------------------------------------
+    def optimizer_settings_map(self) -> Dict[str, OptimizerSettings]:
+        return {"classification": self.classification_optimizer}
+
+    # lr monitoring / model summary share BaseFlow's generic implementations
+    # (they only rely on optimizer_settings_map and state.params)
+    current_lrs = BaseFlow.current_lrs
+    param_counts = BaseFlow.param_counts
+
     def init_state(self, key: jax.Array, sample_batch) -> FlowState:
         inputs, targets, meta = sample_batch
         k_model, k_drop = jax.random.split(key)

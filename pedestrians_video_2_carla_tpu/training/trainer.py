@@ -126,9 +126,17 @@ class Trainer:
         sample = self._init_state()
         self._build_steps()
 
+        if self.is_main_process:
+            # fit-start model summary (reference attaches Lightning's
+            # ModelSummary callback, modeling.py:240-247)
+            counts = self.flow.param_counts(self.state)
+            print("  | model      | params\n  " + "\n  ".join(
+                f"| {k:<10} | {v:,}" for k, v in counts.items()))
         if not self.config.skip_initial_metrics and self.is_main_process:
             initial = self._initial_metrics()
-            self.logger.log_hparams({**self.dm.hparams, **initial})
+            self.logger.log_hparams({
+                **self.dm.hparams, **initial,
+                **{f"params/{k}": v for k, v in counts.items()}})
 
         limit = self._resolve_train_batches()
         # RBG dropout stream: threefry mask generation measured ~46% of a
@@ -164,7 +172,10 @@ class Trainer:
                         host_logs = jax.device_get(logs)
                         self.logger.log_scalars(
                             global_step,
-                            {k: float(v) for k, v in host_logs.items()})
+                            {**{k: float(v) for k, v in host_logs.items()},
+                             # per-step effective lrs (reference
+                             # LearningRateMonitor)
+                             **self.flow.current_lrs(self.state)})
                     # throttled training-time qualitative videos (reference
                     # ``flow/base.py:489-510`` logs videos during training
                     # through the PedestrianLogger's step throttle); the

@@ -49,6 +49,22 @@ def test_pose_lifting_output_types(model, output_type):
     assert results["val_metrics"]["val_loss/primary"] >= 0
 
 
+def test_lr_monitor_and_model_summary(tmp_path):
+    # per-step lr logging (reference LearningRateMonitor) + param counts in
+    # hparams (reference ModelSummary), incl. the ReduceLROnPlateau scale
+    import json
+    _run("--flow=pose_lifting", "--movements_model_name=Linear",
+         "--loss_modes", "loc_2d", "--movements_enable_lr_scheduler",
+         f"--root_dir={tmp_path}", "--run_name=lrmon")
+    logdir = tmp_path / "logs" / "pose_lifting" / "lrmon"
+    lines = [json.loads(l) for l in
+             (logdir / "metrics.jsonl").read_text().splitlines()]
+    lr_lines = [l for l in lines if "lr-movements" in l]
+    assert lr_lines and lr_lines[0]["lr-movements"] > 0
+    hparams = json.loads((logdir / "hparams.json").read_text())
+    assert hparams.get("params/movements", 0) > 0
+
+
 def test_pose_lifting_pallas_projection_kernel():
     # --projection_kernel pallas must train end-to-end (Pallas forward in
     # interpret mode on CPU, custom-VJP XLA backward) and produce finite
