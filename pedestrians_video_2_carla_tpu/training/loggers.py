@@ -36,6 +36,25 @@ class MetricsLogger:
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(k, v, step)
 
+    def log_video(self, tag: str, video, step: int, fps: float = 30.0
+                  ) -> None:
+        """Forward a rendered (T, H, W, C) uint8 clip to TensorBoard
+        (reference ``flow/base.py:480-487`` ``add_video``); silently skipped
+        when TB (or its moviepy dependency) is unavailable."""
+        if not self.enabled or self._tb is None:
+            return
+        import importlib.util
+        if importlib.util.find_spec("moviepy") is None:
+            return  # torch's add_video encoder needs moviepy
+        try:
+            import numpy as np
+            import torch
+            vid = torch.from_numpy(
+                np.ascontiguousarray(video)).permute(0, 3, 1, 2)[None]
+            self._tb.add_video(tag, vid, global_step=step, fps=int(fps))
+        except Exception:
+            pass
+
     def log_hparams(self, hparams: Dict[str, Any]) -> None:
         if not self.enabled:
             return

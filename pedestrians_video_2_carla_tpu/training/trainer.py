@@ -210,6 +210,14 @@ class Trainer:
             self.logger.log_hparams(hp)
         return self.state
 
+    def _tb_video_callback(self, step: int):
+        """Forward rendered clips to TensorBoard alongside the mp4s
+        (reference ``flow/base.py:480-487``)."""
+        def cb(video, clip_idx, fps, stage, meta):
+            self.logger.log_video(f"{stage}/video_{clip_idx}", video,
+                                  step, fps)
+        return cb
+
     def _log_train_videos(self, batch, global_step: int, batch_idx: int):
         try:
             _, preds, targets = self._eval_step(self.state, batch)
@@ -221,7 +229,8 @@ class Trainer:
                     {k: v for k, v in preds.items() if v is not None}),
                 meta=jax.tree_util.tree_map(np.asarray, batch[2]),
                 step=global_step, batch_idx=batch_idx, stage="train",
-                force=True)  # should_log already applied the throttle
+                force=True,  # should_log already applied the throttle
+                vid_callback=self._tb_video_callback(global_step))
         except Exception as e:  # rendering must never kill a run
             import warnings
             warnings.warn(f"train video logging failed: {e}")
@@ -261,7 +270,9 @@ class Trainer:
                             meta=jax.tree_util.tree_map(np.asarray,
                                                         host_meta),
                             step=int(self.state.step), batch_idx=batch_idx,
-                            stage=stage, force=(stage != "train"))
+                            stage=stage, force=(stage != "train"),
+                            vid_callback=self._tb_video_callback(
+                                int(self.state.step)))
                     except Exception as e:  # rendering must never kill a run
                         import warnings
                         warnings.warn(f"video logging failed: {e}")
