@@ -179,7 +179,7 @@ def add_flow_args(parser: argparse.ArgumentParser):
     group.add_argument("--projection_kernel", default="xla",
                        choices=["xla", "pallas"],
                        help="pallas = hand-written fused FK+projection TPU "
-                            "kernel on the pose_changes forward path (~20% "
+                            "kernel on the pose_changes forward path (~20%% "
                             "faster forward-only; use for predict/export "
                             "serving — training backward stays XLA)")
     list_arg_as_flat_args(group, "loss_params", 26, None, float)

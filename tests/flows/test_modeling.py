@@ -49,6 +49,17 @@ def test_pose_lifting_output_types(model, output_type):
     assert results["val_metrics"]["val_loss/primary"] >= 0
 
 
+def test_help_prints_and_exits_cleanly(capsys):
+    # regression: a bare '%' in a help string makes argparse's %(default)s
+    # expansion crash --help with a TypeError
+    from pedestrians_video_2_carla_tpu.modeling import setup_flow
+    with pytest.raises(SystemExit) as e:
+        setup_flow(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "--projection_kernel" in out and "--loss_modes" in out
+
+
 def test_lr_monitor_and_model_summary(tmp_path):
     # per-step lr logging (reference LearningRateMonitor) + param counts in
     # hparams (reference ModelSummary), incl. the ReduceLROnPlateau scale
