@@ -170,12 +170,36 @@ class BaseFlow:
         ``modeling.py:240-247``). Schedule-based lrs are recomputed from the
         step counter; ReduceLROnPlateau's stateful scale is read out of the
         optimizer state."""
-        def plateau_scale(tree):
+        def plateau_scale(tree, name=None):
+            # prefer the per-model subtree (multi_transform keys its
+            # inner_states dict by model name) so two plateau schedulers
+            # don't read each other's scale
+            if name is not None:
+                sub = subtree_for(tree, name)
+                if sub is not None:
+                    found = plateau_scale(sub)
+                    if found is not None:
+                        return found
             if hasattr(tree, "scale") and hasattr(tree, "plateau_count"):
                 return float(jax.device_get(tree.scale))
             for child in (tree if isinstance(tree, (tuple, list)) else
                           tree.values() if isinstance(tree, dict) else ()):
                 found = plateau_scale(child)
+                if found is not None:
+                    return found
+            return None
+
+        def subtree_for(tree, name):
+            if isinstance(tree, dict):
+                if name in tree:
+                    return tree[name]
+                children = tree.values()
+            elif isinstance(tree, (tuple, list)):
+                children = tree
+            else:
+                return None
+            for child in children:
+                found = subtree_for(child, name)
                 if found is not None:
                     return found
             return None
@@ -186,7 +210,7 @@ class BaseFlow:
             lr = settings.learning_rate
             if settings.enable_lr_scheduler:
                 if settings.scheduler_type == "ReduceLROnPlateau":
-                    scale = plateau_scale(state.opt_state)
+                    scale = plateau_scale(state.opt_state, name)
                     if scale is not None:
                         lr *= scale
                 elif settings.scheduler_type == "StepLR":

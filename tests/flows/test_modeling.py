@@ -76,6 +76,50 @@ def test_lr_monitor_and_model_summary(tmp_path):
     assert hparams.get("params/movements", 0) > 0
 
 
+def test_current_lrs_per_model_plateau_attribution():
+    # two ReduceLROnPlateau schedulers: scaling one model's plateau state
+    # must only change THAT model's reported lr
+    import jax
+    import jax.numpy as jnp
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+
+    cfg = Carla2D3DConfig(batch_size=2, clip_length=4)
+    batch = generate_batch(jax.random.PRNGKey(0), cfg)
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["Linear"](),
+        movements_optimizer=OptimizerSettings(
+            lr=1e-3, enable_lr_scheduler=True),
+        trajectory_optimizer=OptimizerSettings(
+            lr=1e-2, enable_lr_scheduler=True))
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+
+    def scale_plateau(tree, inside, factor):
+        if hasattr(tree, "scale") and hasattr(tree, "plateau_count"):
+            return tree._replace(scale=tree.scale * factor) if inside \
+                else tree
+        if isinstance(tree, dict):
+            return {k: scale_plateau(v, inside or k == "trajectory", factor)
+                    for k, v in tree.items()}
+        if isinstance(tree, tuple):
+            vals = [scale_plateau(v, inside, factor) for v in tree]
+            return type(tree)(*vals) if hasattr(tree, "_fields") \
+                else tuple(vals)
+        return tree
+
+    state = state.replace(
+        opt_state=scale_plateau(state.opt_state, False, jnp.asarray(0.5)))
+    lrs = flow.current_lrs(state)
+    assert lrs["lr-movements"] == pytest.approx(1e-3)
+    assert lrs["lr-trajectory"] == pytest.approx(5e-3)
+
+
 def test_pose_lifting_pallas_projection_kernel():
     # --projection_kernel pallas must train end-to-end (Pallas forward in
     # interpret mode on CPU, custom-VJP XLA backward) and produce finite
