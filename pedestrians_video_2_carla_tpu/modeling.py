@@ -88,6 +88,11 @@ def add_trainer_args(parser: argparse.ArgumentParser):
     group.add_argument("--gradient_clip_val", type=float, default=0.0,
                        help="global-norm gradient clipping (0 = off), the "
                             "Lightning Trainer flag equivalent")
+    group.add_argument("--detect_anomaly", type=boolean, default=False,
+                       help="the Lightning Trainer flag: at every log "
+                            "interval, abort with a diagnostic dump if any "
+                            "logged loss or parameter is NaN/inf (masked "
+                            "losses can look finite after params NaN)")
     group.add_argument("--num_devices", type=int, default=None,
                        help="data-parallel mesh size (default: all devices)")
     group.add_argument("--model_devices", type=int, default=1,
@@ -455,6 +460,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         model_axis_size=args.model_devices),
         logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
         run_name=run_name,
+        detect_anomaly=args.detect_anomaly,
     )
     video_logger = None
     renderers = [r for r in (args.renderers or []) if r != "none"]

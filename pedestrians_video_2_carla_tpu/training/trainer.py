@@ -39,6 +39,11 @@ class TrainerConfig:
     logs_dir: str = "outputs/logs"
     run_name: str = "run"
     skip_initial_metrics: bool = False
+    #: Lightning's --detect_anomaly equivalent: check logged losses for
+    #: NaN/inf at every log interval; on anomaly, dump which loss terms and
+    #: param leaves are non-finite and abort the run (a masked loss can stay
+    #: finite-looking while params are already NaN — see CLAUDE.md)
+    detect_anomaly: bool = False
 
 
 class Trainer:
@@ -176,6 +181,8 @@ class Trainer:
                              # per-step effective lrs (reference
                              # LearningRateMonitor)
                              **self.flow.current_lrs(self.state)})
+                        if self.config.detect_anomaly:
+                            self._check_anomaly(host_logs, global_step)
                     # throttled training-time qualitative videos (reference
                     # ``flow/base.py:489-510`` logs videos during training
                     # through the PedestrianLogger's step throttle); the
@@ -209,6 +216,32 @@ class Trainer:
         if hp:
             self.logger.log_hparams(hp)
         return self.state
+
+    def _check_anomaly(self, host_logs, global_step: int) -> None:
+        """--detect_anomaly: abort with a diagnostic when a logged loss OR
+        any parameter goes non-finite (params are checked too because masked
+        losses can stay finite-looking after params NaN)."""
+        bad_losses = [k for k, v in host_logs.items()
+                      if not np.isfinite(float(v))]
+        flat = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(self.state.params))[0]
+        bad_params = [jax.tree_util.keystr(path) for path, leaf in flat
+                      if hasattr(leaf, "dtype")
+                      and np.issubdtype(leaf.dtype, np.floating)
+                      and not np.isfinite(leaf).all()]
+        if not bad_losses and not bad_params:
+            return
+        report = {"step": global_step, "non_finite_losses": bad_losses,
+                  "non_finite_params": bad_params[:50]}
+        if self.is_main_process:
+            import json
+            with open(os.path.join(self.log_dir, "anomaly.json"), "w") as f:
+                json.dump(report, f, indent=1)
+        raise RuntimeError(
+            f"detect_anomaly: non-finite at step {global_step}: "
+            f"losses={bad_losses} params={bad_params[:5]}"
+            f"{'...' if len(bad_params) > 5 else ''} "
+            f"(full report in {self.log_dir}/anomaly.json)")
 
     def _tb_video_callback(self, step: int):
         """Forward rendered clips to TensorBoard alongside the mp4s

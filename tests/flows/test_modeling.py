@@ -76,6 +76,44 @@ def test_lr_monitor_and_model_summary(tmp_path):
     assert hparams.get("params/movements", 0) > 0
 
 
+def test_detect_anomaly_aborts_on_non_finite(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import \
+        Carla2D3DDataModule
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.training.trainer import (Trainer,
+                                                                TrainerConfig)
+
+    dm = Carla2D3DDataModule(batch_size=2, clip_length=4, val_set_size=2,
+                             test_set_size=2)
+    flow = PoseLiftingFlow(movements_model=MOVEMENTS_MODELS["Linear"]())
+    trainer = Trainer(flow, dm, TrainerConfig(
+        logs_dir=str(tmp_path), run_name="anomaly", detect_anomaly=True))
+    trainer._init_state()
+
+    # finite logs + finite params: no-op
+    trainer._check_anomaly({"train_loss/primary": 1.0}, 1)
+
+    # non-finite loss -> abort with diagnostic file
+    with pytest.raises(RuntimeError, match="detect_anomaly"):
+        trainer._check_anomaly({"train_loss/primary": float("nan")}, 2)
+    assert (tmp_path / "anomaly" / "anomaly.json").exists()
+
+    # finite-looking loss but poisoned params -> still caught
+    poisoned = jax.tree_util.tree_map(
+        lambda x: x.at[...].set(jnp.nan) if hasattr(x, "at") else x,
+        trainer.state.params)
+    trainer.state = trainer.state.replace(params=poisoned)
+    with pytest.raises(RuntimeError, match="params"):
+        trainer._check_anomaly({"train_loss/primary": 1.0}, 3)
+
+
 def test_current_lrs_per_model_plateau_attribution():
     # two ReduceLROnPlateau schedulers: scaling one model's plateau state
     # must only change THAT model's reported lr
