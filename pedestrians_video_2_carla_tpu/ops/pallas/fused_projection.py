@@ -118,7 +118,13 @@ def fused_projection_pallas(pose_changes: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     B, L = pose_changes.shape[:2]
-    pad = (-B) % BLOCK_B
+    # off-TPU the kernel runs in interpret mode (pure-python per-op eval),
+    # where padding tiny test batches up to the 128-lane block is ~16x
+    # wasted work — shrink the block to the padded batch there. On TPU the
+    # 128-lane block is required for full-width VPU lanes.
+    block_b = BLOCK_B if jax.default_backend() == "tpu" \
+        else max(8, int(np.ceil(B / 8)) * 8)
+    pad = (-B) % block_b
     if pad:
         pose_changes = jnp.concatenate(
             [pose_changes, jnp.broadcast_to(
@@ -142,21 +148,21 @@ def fused_projection_pallas(pose_changes: jnp.ndarray,
         camera.principal[0], camera.principal[1],
         camera.image_size[0], camera.image_size[1]))
 
-    grid = (Bp // BLOCK_B,)
+    grid = (Bp // block_b,)
     out = pl.pallas_call(
         functools.partial(_kernel, camera_consts=consts),
         out_shape=jax.ShapeDtypeStruct((L, 3, 26, Bp), pose_changes.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, 9, 26, BLOCK_B),
+            pl.BlockSpec((L, 9, 26, block_b),
                          lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 26, BLOCK_B), lambda i: (0, 0, i),
+            pl.BlockSpec((3, 26, block_b), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 26, BLOCK_B), lambda i: (0, 0, i),
+            pl.BlockSpec((9, 26, block_b), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, 3, 26, BLOCK_B),
+        out_specs=pl.BlockSpec((L, 3, 26, block_b),
                                lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
