@@ -1,0 +1,92 @@
+"""Unit tests for the training-infrastructure pieces that were previously
+covered only end-to-end: CheckpointManager (monitored-best semantics,
+reference ``modeling.py:240-245``), scheme resolution (``utils/paths.py:
+24-32``), and MetricsLogger rank-zero behavior."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pedestrians_video_2_carla_tpu.training.checkpoint import (
+    CheckpointManager, resolve_ckpt_path)
+from pedestrians_video_2_carla_tpu.training.loggers import MetricsLogger
+
+STATE = {"w": jnp.arange(4.0), "b": jnp.ones(())}
+
+
+def test_checkpoint_monitored_best_top1(tmp_path):
+    cm = CheckpointManager(str(tmp_path), monitor="val_loss/primary",
+                           mode="min")
+    assert cm.maybe_save(STATE, {"val_loss/primary": 1.0}, step=1)
+    first_best = cm.best_path
+    # worse value: not saved
+    assert not cm.maybe_save(STATE, {"val_loss/primary": 2.0}, step=2)
+    # missing monitor key: not saved
+    assert not cm.maybe_save(STATE, {"other": 0.0}, step=3)
+    # better value: saved, and the previous best file is removed (top-1)
+    assert cm.maybe_save(STATE, {"val_loss/primary": 0.5}, step=4)
+    assert not os.path.exists(first_best + ".npz")
+    assert os.path.exists(cm.best_path + ".npz")
+    meta = json.loads((tmp_path / "best.json").read_text())
+    assert meta["step"] == 4 and meta["val_loss/primary"] == 0.5
+
+
+def test_checkpoint_restore_roundtrip_and_npz_suffix(tmp_path):
+    cm = CheckpointManager(str(tmp_path))
+    cm.maybe_save(STATE, {"val_loss/primary": 1.0}, step=7)
+    # restore via best.json
+    restored = cm.restore(STATE)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(STATE["w"]))
+    # restore accepts both the stem and the on-disk .npz name
+    stem = cm.save_last(STATE, step=8)
+    for p in (stem, stem + ".npz"):
+        r = cm.restore(STATE, path=p)
+        np.testing.assert_allclose(np.asarray(r["b"]), 1.0)
+
+
+def test_checkpoint_disabled_is_rank_zero_noop(tmp_path):
+    target = tmp_path / "nonzero_rank"
+    cm = CheckpointManager(str(target), enabled=False)
+    assert not cm.maybe_save(STATE, {"val_loss/primary": 0.1}, step=1)
+    cm.save_last(STATE, step=1)
+    assert not target.exists()  # never even creates the directory
+
+
+def test_resolve_ckpt_path_schemes(tmp_path):
+    run_dir = tmp_path / "logs" / "flow" / "shiny-run" / "checkpoints"
+    run_dir.mkdir(parents=True)
+    cm = CheckpointManager(str(run_dir))
+    cm.save_last(STATE, step=1)
+    cm.maybe_save(STATE, {"val_loss/primary": 1.0}, step=2)
+
+    assert resolve_ckpt_path("plain/path") == "plain/path"
+    assert resolve_ckpt_path("file:///x/y.npz") == "/x/y.npz"
+    # wandb://entity/project/run degrades to the local artifact lookup,
+    # preferring the monitored-best over 'last'
+    hit = resolve_ckpt_path("wandb://ent/proj/shiny-run:v3",
+                            search_root=str(tmp_path))
+    assert os.path.basename(hit).startswith("best-step")
+    with pytest.raises(FileNotFoundError):
+        resolve_ckpt_path("wandb://ent/proj/nope", search_root=str(tmp_path))
+
+
+def test_metrics_logger_jsonl_and_rank_zero(tmp_path):
+    logger = MetricsLogger(str(tmp_path / "run"))
+    logger.log_scalars(1, {"train_loss/primary": 0.5})
+    logger.log_hparams({"batch_size": 4})
+    logger.log_hparams({"extra": "x"})  # merges, not overwrites
+    logger.close()
+    lines = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["train_loss/primary"] == 0.5 and lines[0]["step"] == 1
+    hp = json.loads((tmp_path / "run" / "hparams.json").read_text())
+    assert hp == {"batch_size": 4, "extra": "x"}
+
+    silent = MetricsLogger(str(tmp_path / "rank1"), enabled=False)
+    silent.log_scalars(1, {"a": 1.0})
+    silent.log_hparams({"a": 1})
+    silent.close()
+    assert not (tmp_path / "rank1").exists()
