@@ -351,6 +351,40 @@ def test_pose_estimation_conv_sharded_matches_single():
     assert (diff_sq / max(ref_sq, 1e-24)) ** 0.5 < 0.15
 
 
+def test_pallas_projection_sharded_matches_single(rng):
+    """``--projection_kernel pallas`` under the data mesh: GSPMD must place
+    the pallas custom call correctly with batch-sharded operands (correctness,
+    not layout, is asserted). Forward-only and clip_length=2 on purpose: the
+    kernel unrolls frames in Python, so the interpret-mode CPU compile costs
+    ~26 s per frame on this box — a full training-step variant times out."""
+    from tests.ops.np_reference import random_rotation_matrices
+
+    from pedestrians_video_2_carla_tpu.ops import camera as C
+    from pedestrians_video_2_carla_tpu.ops.pallas.fused_projection import (
+        fused_projection, fused_projection_reference)
+    from pedestrians_video_2_carla_tpu.skeletons.carla import \
+        load_reference_pose
+
+    B, L = 8, 2
+    rel_loc, rel_rot = load_reference_pose("adult_female")
+    rl = np.broadcast_to(np.asarray(rel_loc), (B, 26, 3))
+    rr = np.broadcast_to(np.asarray(rel_rot), (B, 26, 3, 3))
+    changes = random_rotation_matrices(rng, (B, L, 26)).astype(np.float32)
+    cam = C.make_camera()
+
+    ref = np.asarray(jax.jit(
+        lambda c, l, r: fused_projection_reference(c, l, r, cam))(
+            changes, rl, rr))
+    mesh = make_mesh(MeshConfig())
+    with mesh:
+        sharded = shard_batch(
+            mesh, {"c": changes, "l": np.ascontiguousarray(rl),
+                   "r": np.ascontiguousarray(rr)})
+        out = jax.jit(lambda c, l, r: fused_projection(c, l, r, cam))(
+            sharded["c"], sharded["l"], sharded["r"])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
