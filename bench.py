@@ -39,33 +39,43 @@ def bench_tpu_train():
     batch = generate_batch(key, cfg)
     batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
 
-    flow = PoseLiftingFlow(
-        movements_model=MOVEMENTS_MODELS["LinearAE"](),
-        loss_modes=[LossModes.loc_2d_3d],
-        movements_optimizer=OptimizerSettings(lr=1e-3),
-    )
-    state = flow.init_state(jax.random.PRNGKey(1), batch)
-    train_step = jax.jit(flow.training_step, donate_argnums=(0,))
-
     from pedestrians_video_2_carla_tpu.utils.rng import training_rng
-    rng = training_rng(2)
-    # warmup/compile (the remote-tunnel runtime needs several iterations
-    # before steady-state timing)
-    for _ in range(5):
-        state, logs = train_step(state, batch, rng)
-    jax.block_until_ready(logs)
 
-    # best-of-3 bursts: the remote-tunnel runtime adds ~±20% run-to-run
-    # noise that only ever *subtracts* throughput, so the max over repeated
-    # steady-state bursts is the least-noisy estimate of the chip's rate
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(TRAIN_STEPS):
+    def step_rate(projection_kernel):
+        flow = PoseLiftingFlow(
+            movements_model=MOVEMENTS_MODELS["LinearAE"](),
+            loss_modes=[LossModes.loc_2d_3d],
+            movements_optimizer=OptimizerSettings(lr=1e-3),
+            projection_kernel=projection_kernel,
+        )
+        state = flow.init_state(jax.random.PRNGKey(1), batch)
+        train_step = jax.jit(flow.training_step, donate_argnums=(0,))
+        rng = training_rng(2)
+        # warmup/compile (the remote-tunnel runtime needs several iterations
+        # before steady-state timing)
+        for _ in range(5):
             state, logs = train_step(state, batch, rng)
         jax.block_until_ready(logs)
-        dt = min(dt, time.perf_counter() - t0)
-    clips_per_sec = BATCH * TRAIN_STEPS / dt
+
+        # best-of-3 bursts: the remote-tunnel runtime adds ~±20% run-to-run
+        # noise that only ever *subtracts* throughput, so the max over
+        # repeated steady-state bursts is the least-noisy estimate
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(TRAIN_STEPS):
+                state, logs = train_step(state, batch, rng)
+            jax.block_until_ready(logs)
+            dt = min(dt, time.perf_counter() - t0)
+        return BATCH * TRAIN_STEPS / dt
+
+    # headline = the faster of the two production train-step kernels: the
+    # XLA plane path vs the hand-written Pallas forward+backward
+    # (--projection_kernel pallas_train). A/B on the real chip has
+    # pallas_train ahead (best-of: ~710k vs ~581k clips/s), but tunnel
+    # noise overlaps the two, so measure both every run.
+    kernel_rates = {k: step_rate(k) for k in ("xla", "pallas_train")}
+    clips_per_sec = max(kernel_rates.values())
 
     # fused FK+projection alone (the reference's hot loops 1-3)
     from pedestrians_video_2_carla_tpu.flows.output_types import \
@@ -118,12 +128,12 @@ def bench_tpu_train():
         out.block_until_ready()
         dt = min(dt, time.perf_counter() - t0)
     pallas_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
-    return clips_per_sec, fk_us_per_clip, pallas_us_per_clip
+    return clips_per_sec, kernel_rates, fk_us_per_clip, pallas_us_per_clip
 
 
 def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
                 steps=20, warmup=5, grad_accum=1, precision="32",
-                **model_kwargs):
+                flow_kwargs=None, **model_kwargs):
     """Train-step throughput (clips/s) for one BASELINE config.
 
     ``grad_accum > 1`` runs microbatches of ``batch_size`` with
@@ -147,7 +157,7 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
         movements_model=MOVEMENTS_MODELS[model_name](**model_kwargs),
         loss_modes=loss_modes,
         movements_optimizer=OptimizerSettings(lr=1e-3),
-        precision=precision)
+        precision=precision, **(flow_kwargs or {}))
     if grad_accum > 1:
         inner_make = flow._make_optimizer
         flow._make_optimizer = lambda: optax.with_extra_args_support(
@@ -534,15 +544,17 @@ def bench_cpu_reference_fk():
 
 
 def main():
-    clips_per_sec, fk_us, pallas_us = bench_tpu_train()
+    clips_per_sec, kernel_rates, fk_us, pallas_us = bench_tpu_train()
     try:
         cpu_fk_us = bench_cpu_reference_fk()
         vs_baseline = cpu_fk_us / fk_us
     except Exception:
         cpu_fk_us, vs_baseline = None, None
-    secondary = {}
+    secondary = {
+        f"train_step_{k}_clips_per_sec": round(v, 2)
+        for k, v in kernel_rates.items()}
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
-        secondary = bench_secondary_configs()
+        secondary.update(bench_secondary_configs())
         try:
             secondary.update(bench_classification())
         except Exception as e:

@@ -182,11 +182,14 @@ def add_flow_args(parser: argparse.ArgumentParser):
                        default="pose_changes",
                        choices=[t.name for t in MovementsModelOutputType])
     group.add_argument("--projection_kernel", default="xla",
-                       choices=["xla", "pallas"],
+                       choices=["xla", "pallas", "pallas_train"],
                        help="pallas = hand-written fused FK+projection TPU "
                             "kernel on the pose_changes forward path (~20%% "
                             "faster forward-only; use for predict/export "
-                            "serving — training backward stays XLA)")
+                            "serving). pallas_train = the trainable variant: "
+                            "Pallas forward AND hand-written Pallas backward, "
+                            "also emits the absolute 3D pose so the XLA FK "
+                            "chain drops out of the 2D+3D train step")
     list_arg_as_flat_args(group, "loss_params", 26, None, float)
     return parser
 

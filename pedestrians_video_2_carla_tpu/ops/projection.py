@@ -56,18 +56,20 @@ class ProjectionModule:
         self.movements_output_type = movements_output_type
         self.trajectory_output_type = trajectory_output_type
         self.camera = camera if camera is not None else C.make_camera()
-        if kernel not in ("xla", "pallas"):
+        if kernel not in ("xla", "pallas", "pallas_train"):
             raise ValueError(f"unknown projection kernel {kernel!r}")
         #: "pallas" routes the projections through the hand-written fused
         #: TPU kernel (``ops/pallas/fused_projection.py``) on the
         #: pose_changes + identity-world fast path — ~20% faster forward
         #: than the XLA plane path at batch >= 512 (see docs/PERFORMANCE.md),
         #: intended for inference/serving where only the 2D output is
-        #: consumed. Other configs (relative_rot, world track) and the 3D
-        #: outputs dict always use the XLA plane path; under jit the unused
-        #: one is dead-code-eliminated. Training works (custom VJP with an
-        #: XLA backward) but replays the XLA forward in the vjp, so "xla"
-        #: stays the training default.
+        #: consumed. "pallas_train" is the trainable variant: Pallas forward
+        #: AND hand-written Pallas backward, and the kernel also emits the
+        #: absolute pose locations — so for a 2D+3D loss stack the XLA FK
+        #: chain dead-code-eliminates out of the train step entirely. Other
+        #: configs (relative_rot, world track) and the rotation outputs
+        #: always use the XLA plane path; under jit the unused one is
+        #: dead-code-eliminated.
         self.kernel = kernel
 
     def __call__(self,
@@ -151,7 +153,15 @@ class ProjectionModule:
         w_loc = None if identity_world else world_loc
         w_rot = None if identity_world else world_rot
 
-        if (self.kernel == "pallas" and identity_world
+        if (self.kernel == "pallas_train" and identity_world
+                and mot == MovementsModelOutputType.pose_changes):
+            from .pallas.fused_projection import fused_projection_train
+            # the kernel's abs_loc replaces the XLA FK output, so for losses
+            # that only consume projection_2d/absolute_pose_loc the whole
+            # XLA accumulate9/fk_planes chain above is dead code under jit
+            projections, absolute_loc = fused_projection_train(
+                pose_inputs, state.rel_loc, state.rel_rot, self.camera)
+        elif (self.kernel == "pallas" and identity_world
                 and mot == MovementsModelOutputType.pose_changes):
             from .pallas.fused_projection import fused_projection
             projections = fused_projection(

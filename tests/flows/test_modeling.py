@@ -168,6 +168,16 @@ def test_pose_lifting_pallas_projection_kernel():
     assert vm["val_loss/primary"] > 0 and vm["val/MPJPE"] > 0
 
 
+def test_pose_lifting_pallas_train_projection_kernel():
+    # --projection_kernel pallas_train: Pallas forward AND hand-written
+    # Pallas backward through a 2D+3D loss (both kernel outputs consumed)
+    results = _run("--flow=pose_lifting", "--movements_model_name=Linear",
+                   "--loss_modes", "loc_2d_3d",
+                   "--projection_kernel", "pallas_train")
+    vm = results["val_metrics"]
+    assert vm["val_loss/primary"] > 0 and vm["val/MPJPE"] > 0
+
+
 def test_pose_lifting_lstm_and_weighted_loss():
     results = _run("--flow=pose_lifting", "--movements_model_name=LSTM",
                    "--loss_modes", "weighted_loc_2d_loc_rot_3d",

@@ -6,7 +6,8 @@ import numpy as np
 
 from pedestrians_video_2_carla_tpu.ops import camera as C
 from pedestrians_video_2_carla_tpu.ops.pallas.fused_projection import (
-    fused_projection, fused_projection_pallas, fused_projection_reference)
+    fused_projection, fused_projection_pallas, fused_projection_reference,
+    fused_projection_train)
 from pedestrians_video_2_carla_tpu.skeletons.carla import load_reference_pose
 
 from .np_reference import random_rotation_matrices
@@ -51,3 +52,43 @@ def test_custom_vjp_gradients_match_xla(rng):
     g_xla = jax.grad(loss_xla)(changes)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
                                rtol=1e-3, atol=1e-2)
+
+
+def _reference_proj_abs(changes, rl, rr, cam):
+    from pedestrians_video_2_carla_tpu.ops import kinematics as K
+    _, abs_loc, _ = K.relative_pose_over_clip(changes, rl, rr)
+    return C.project_pose(cam, abs_loc), abs_loc
+
+
+def test_train_kernel_forward_matches_xla(rng):
+    changes, rl, rr, cam = _inputs(rng)
+    proj_ref, abs_ref = _reference_proj_abs(changes, rl, rr, cam)
+    proj, abs_loc = fused_projection_train(changes, rl, rr, cam)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(abs_loc), np.asarray(abs_ref),
+                               atol=1e-5)
+
+
+def test_train_kernel_pallas_backward_matches_xla(rng):
+    # the hand-written reverse-mode kernel: cotangents for ALL THREE inputs
+    # (pose changes, reference locations, initial rotations) through a loss
+    # consuming both the 2D projections and the 3D absolute pose
+    changes, rl, rr, cam = _inputs(rng)
+
+    def loss(fn):
+        def f(c, l, r):
+            proj, abs_loc = fn(c, l, r, cam)
+            return (jnp.sum(jnp.sin(proj[..., :2] * 0.01))
+                    + jnp.sum(abs_loc ** 2))
+        return f
+
+    g_pal = jax.grad(loss(fused_projection_train), argnums=(0, 1, 2))(
+        changes, rl, rr)
+    g_xla = jax.grad(loss(_reference_proj_abs), argnums=(0, 1, 2))(
+        changes, rl, rr)
+    for pal, ref in zip(g_pal, g_xla):
+        scale = max(float(np.abs(np.asarray(ref)).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(pal) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=1e-4, atol=1e-5)

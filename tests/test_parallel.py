@@ -385,6 +385,41 @@ def test_pallas_projection_sharded_matches_single(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
 
 
+def test_pallas_train_kernel_sharded_matches_single(rng):
+    """``--projection_kernel pallas_train`` under the data mesh: GSPMD must
+    place BOTH hand-written kernels (forward and the gridded reverse-frame
+    backward) with batch-sharded operands and produce the same gradients as
+    the single-device call. clip_length=2 bounds the interpret-mode compile
+    (the forward unrolls frames in Python; the backward grid traces once)."""
+    from tests.ops.np_reference import random_rotation_matrices
+
+    from pedestrians_video_2_carla_tpu.ops import camera as C
+    from pedestrians_video_2_carla_tpu.ops.pallas.fused_projection import \
+        fused_projection_train
+    from pedestrians_video_2_carla_tpu.skeletons.carla import \
+        load_reference_pose
+
+    B, L = 8, 2
+    rel_loc, rel_rot = load_reference_pose("adult_female")
+    rl = np.ascontiguousarray(np.broadcast_to(np.asarray(rel_loc), (B, 26, 3)))
+    rr = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(rel_rot), (B, 26, 3, 3)))
+    changes = random_rotation_matrices(rng, (B, L, 26)).astype(np.float32)
+    cam = C.make_camera()
+
+    def loss(c, l, r):
+        proj, abs_loc = fused_projection_train(c, l, r, cam)
+        return jnp.sum(jnp.sin(proj[..., :2] * 0.01)) + jnp.sum(abs_loc ** 2)
+
+    single = jax.jit(jax.grad(loss))(changes, rl, rr)
+    mesh = make_mesh(MeshConfig())
+    with mesh:
+        sharded = shard_batch(mesh, {"c": changes, "l": rl, "r": rr})
+        out = jax.jit(jax.grad(loss))(sharded["c"], sharded["l"], sharded["r"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               atol=1e-4)
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
