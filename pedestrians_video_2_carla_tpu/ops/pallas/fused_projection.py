@@ -127,45 +127,63 @@ def _fk_frame(state, rel_loc, num_bones):
 
 
 def _fwd_train_kernel(changes_ref, rel_loc_ref, rel_rot_ref,
-                      proj_ref, abs_ref, state_ref, camera_consts):
-    """Training forward: like :func:`_kernel` but additionally writes the
-    absolute pose locations (for the 3D losses) and the per-frame carried
-    relative rotations (the backward kernel's residuals).
+                      proj_ref, abs_ref, state_ref, carry_ref,
+                      camera_consts):
+    """Training forward, one grid step per frame: like :func:`_kernel` but
+    additionally writes the absolute pose locations (for the 3D losses) and
+    the per-frame carried relative rotations (the backward kernel's
+    residuals).
 
-    proj_ref:  (L, 3, 26, B)  (x_screen, y_screen, depth)
-    abs_ref:   (L, 3, 26, B)  absolute pose locations (P3D pose space)
-    state_ref: (L, 9, 26, B)  relative rotations after each frame's compose
+    Gridding over frames (instead of keeping the whole clip in one block)
+    keeps per-step VMEM at ~45 (26, B) planes, which lets the batch block
+    widen far past 128 lanes — the FK tree walk is a serial dependency
+    chain of ~400 small vector ops per frame, so wall time scales with the
+    number of chain traversals (batch blocks), not with lanes. The
+    across-frame rotation recurrence lives in ``carry_ref``, a VMEM scratch
+    that persists across grid steps (frames run innermost, so each batch
+    block re-initializes it at t == 0).
+
+    proj_ref:  (1, 3, 26, B)  (x_screen, y_screen, depth), this frame
+    abs_ref:   (1, 3, 26, B)  absolute pose locations (P3D pose space)
+    state_ref: (1, 9, 26, B)  relative rotations after this frame's compose
+    carry_ref: (9, 26, B)     VMEM scratch: the rotation recurrence carry
     """
-    L = changes_ref.shape[0]
+    from jax.experimental import pallas as pl
+
     (r00, r01, r02, r10, r11, r12, r20, r21, r22,
      t0, t1, t2, fx, fy, px, py, w, h) = camera_consts
 
-    rel_loc = [rel_loc_ref[i] for i in range(3)]
-    state = [rel_rot_ref[i] for i in range(9)]
-    num_bones = rel_loc_ref.shape[1]
-    for t in range(L):
-        changes = [changes_ref[t, i] for i in range(9)]
-        state = list(_compose9_slabs(state, changes))     # C_t @ R_{t-1}
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
         for i in range(9):
-            state_ref[t, i] = state[i]
+            carry_ref[i] = rel_rot_ref[i]
 
-        abs_rot, abs_loc = _fk_frame(state, rel_loc, num_bones)
-        ax = jnp.concatenate([abs_loc[b][0] for b in range(num_bones)], 0)
-        ay = jnp.concatenate([abs_loc[b][1] for b in range(num_bones)], 0)
-        az = jnp.concatenate([abs_loc[b][2] for b in range(num_bones)], 0)
-        abs_ref[t, 0] = ax
-        abs_ref[t, 1] = ay
-        abs_ref[t, 2] = az
+    rel_loc = [rel_loc_ref[i] for i in range(3)]
+    num_bones = rel_loc_ref.shape[1]
+    changes = [changes_ref[0, i] for i in range(9)]
+    state = list(_compose9_slabs([carry_ref[i] for i in range(9)],
+                                 changes))                # C_t @ R_{t-1}
+    for i in range(9):
+        state_ref[0, i] = state[i]
+        carry_ref[i] = state[i]
 
-        # p3d pose -> world axis swap (x, y, z) -> (y, -x, z), then view+pinhole
-        wx, wy, wz = ay, -ax, az
-        vx = wx * r00 + wy * r10 + wz * r20 + t0
-        vy = wx * r01 + wy * r11 + wz * r21 + t1
-        vz = wx * r02 + wy * r12 + wz * r22 + t2
-        inv_z = 1.0 / vz
-        proj_ref[t, 0] = w - (fx * vx * inv_z + px)
-        proj_ref[t, 1] = h - (fy * vy * inv_z + py)
-        proj_ref[t, 2] = vz
+    abs_rot, abs_loc = _fk_frame(state, rel_loc, num_bones)
+    ax = jnp.concatenate([abs_loc[b][0] for b in range(num_bones)], 0)
+    ay = jnp.concatenate([abs_loc[b][1] for b in range(num_bones)], 0)
+    az = jnp.concatenate([abs_loc[b][2] for b in range(num_bones)], 0)
+    abs_ref[0, 0] = ax
+    abs_ref[0, 1] = ay
+    abs_ref[0, 2] = az
+
+    # p3d pose -> world axis swap (x, y, z) -> (y, -x, z), then view+pinhole
+    wx, wy, wz = ay, -ax, az
+    vx = wx * r00 + wy * r10 + wz * r20 + t0
+    vy = wx * r01 + wy * r11 + wz * r21 + t1
+    vz = wx * r02 + wy * r12 + wz * r22 + t2
+    inv_z = 1.0 / vz
+    proj_ref[0, 0] = w - (fx * vx * inv_z + px)
+    proj_ref[0, 1] = h - (fy * vy * inv_z + py)
+    proj_ref[0, 2] = vz
 
 
 def _bwd_train_kernel(changes_ref, rel_loc_ref, rel_rot_ref, state_ref,
@@ -411,11 +429,28 @@ fused_projection.defvjp(_fwd, _bwd)
 # frame from the stored state, reverse-DFS tree transpose.
 # ---------------------------------------------------------------------------
 
+def _train_block_b(B):
+    """Batch block width for the training kernels. A TPU block-width sweep
+    at batch 1024 (PVC_PALLAS_BLOCK_B ∈ {128, 256, 512}) is flat within
+    tunnel noise (~645k clips/s each), with 256 posting the best observed
+    runs (709k/784k) across sessions — the FK chain's VPU work scales with
+    lane count, so widening mostly amortizes grid overhead. 1024 lanes
+    overflow the backward's scoped VMEM (~60 resident (26, B) planes) by
+    ~32 KB and must not be chosen. Override with PVC_PALLAS_BLOCK_B."""
+    import os
+    env = os.environ.get("PVC_PALLAS_BLOCK_B")
+    if env:
+        return int(env)
+    if jax.default_backend() != "tpu":
+        return max(8, int(np.ceil(B / 8)) * 8)
+    Bp = max(BLOCK_B, int(np.ceil(B / BLOCK_B)) * BLOCK_B)
+    return 256 if Bp % 256 == 0 else BLOCK_B
+
+
 def _prep_slabs(pose_changes, rel_loc, rel_rot):
     """Pad the batch to the block size and build the slab layouts."""
     B, L = pose_changes.shape[:2]
-    block_b = BLOCK_B if jax.default_backend() == "tpu" \
-        else max(8, int(np.ceil(B / 8)) * 8)
+    block_b = _train_block_b(B)
     pad = (-B) % block_b
     if pad:
         pose_changes = jnp.concatenate(
@@ -449,12 +484,18 @@ def _train_fwd_slabs(changes_slabs, loc_slabs, rot_slabs, block_b, camera):
 
     L, _, J, Bp = changes_slabs.shape
     dt = changes_slabs.dtype
-    grid = (Bp // block_b,)
-    batch_spec = lambda rank_prefix: pl.BlockSpec(  # noqa: E731
-        rank_prefix + (block_b,),
-        (lambda i: (0, 0, 0, i)) if len(rank_prefix) == 3
-        else (lambda i: (0, 0, i)),
-        memory_space=pltpu.VMEM)
+    # grid = (batch blocks, frames): per-frame blocks keep VMEM small
+    # enough for wide batch blocks; the rotation carry lives in scratch
+    grid = (Bp // block_b, L)
+
+    def frame_spec(c):
+        return pl.BlockSpec((1, c, J, block_b), lambda i, t: (t, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(c):
+        return pl.BlockSpec((c, J, block_b), lambda i, t: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
     proj, abs_loc, states = pl.pallas_call(
         functools.partial(_fwd_train_kernel,
                           camera_consts=_camera_consts(camera)),
@@ -462,12 +503,9 @@ def _train_fwd_slabs(changes_slabs, loc_slabs, rot_slabs, block_b, camera):
                    jax.ShapeDtypeStruct((L, 3, J, Bp), dt),
                    jax.ShapeDtypeStruct((L, 9, J, Bp), dt)),
         grid=grid,
-        in_specs=[batch_spec((L, 9, J)),
-                  batch_spec((3, J)),
-                  batch_spec((9, J))],
-        out_specs=(batch_spec((L, 3, J)),
-                   batch_spec((L, 3, J)),
-                   batch_spec((L, 9, J))),
+        in_specs=[frame_spec(9), const_spec(3), const_spec(9)],
+        out_specs=(frame_spec(3), frame_spec(3), frame_spec(9)),
+        scratch_shapes=[pltpu.VMEM((9, J, block_b), dt)],
         interpret=jax.default_backend() != "tpu",
     )(changes_slabs, loc_slabs, rot_slabs)
     return proj, abs_loc, states
