@@ -92,3 +92,25 @@ def test_train_kernel_pallas_backward_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(pal) / scale,
                                    np.asarray(ref) / scale,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_train_block_b_choice(monkeypatch):
+    # the default block must divide the padded batch and never pick the
+    # 1024-lane width that overflows the backward's scoped VMEM
+    import importlib
+    # the package re-exports the kernel function under the module's name,
+    # shadowing attribute-style module access — resolve via importlib
+    fp = importlib.import_module(
+        "pedestrians_video_2_carla_tpu.ops.pallas.fused_projection")
+
+    monkeypatch.setenv("PVC_PALLAS_BLOCK_B", "512")
+    assert fp._train_block_b(1024) == 512
+    monkeypatch.delenv("PVC_PALLAS_BLOCK_B")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for b in (1024, 4096, 256, 2048):
+        blk = fp._train_block_b(b)
+        padded = max(blk, -(-b // blk) * blk)
+        assert blk <= 512 and padded % blk == 0
+    # non-multiple-of-256 padded batches fall back to the base block
+    assert fp._train_block_b(100) == fp.BLOCK_B
