@@ -4,6 +4,7 @@ from typing import Optional
 
 import flax.linen as nn
 
+from ..rnn import HoistedGRU, HoistedLSTM
 from .common import ClassificationModel
 
 
@@ -13,8 +14,11 @@ class _RecurrentClassifier(ClassificationModel):
     embeddings_size: Optional[int] = None
     p_dropout: float = 0.25
 
-    def _cell(self):
-        raise NotImplementedError
+    #: hoisted full-sequence layer (models/rnn.py) + the flax-cell name it
+    #: must carry for checkpoint compatibility with the previous
+    #: nn.RNN(cell) stack
+    _layer_cls = None
+    _cell_name = None
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
@@ -23,17 +27,18 @@ class _RecurrentClassifier(ClassificationModel):
         if self.embeddings_size:
             h = nn.Dense(self.embeddings_size)(h)
         h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
-        for _ in range(self.num_layers):
-            h = nn.RNN(self._cell())(h)
+        for i in range(self.num_layers):
+            _, h = self._layer_cls(self.hidden_size,
+                                   name=f"{self._cell_name}_{i}")(h)
         out = nn.Dense(self.num_classes)(h)
         return out[:, -1, :]
 
 
 class LSTM(_RecurrentClassifier):
-    def _cell(self):
-        return nn.OptimizedLSTMCell(self.hidden_size)
+    _layer_cls = HoistedLSTM
+    _cell_name = "OptimizedLSTMCell"
 
 
 class GRU(_RecurrentClassifier):
-    def _cell(self):
-        return nn.GRUCell(self.hidden_size)
+    _layer_cls = HoistedGRU
+    _cell_name = "GRUCell"

@@ -62,6 +62,18 @@ def torch_lstm_cell(hidden_size: int, name: str = None,
         bias_init=init, name=name, **kwargs)
 
 
+def torch_hoisted_lstm(hidden_size: int, name: str = None, **kwargs):
+    """``HoistedLSTM`` (input-projection-hoisted full-sequence layer,
+    ``models/rnn.py``) with torch ``nn.LSTM`` default init — parameter-tree
+    drop-in for ``nn.RNN(torch_lstm_cell(...))``."""
+    from ..rnn import HoistedLSTM
+
+    init = torch_uniform_init(1.0 / np.sqrt(hidden_size))
+    return HoistedLSTM(
+        hidden_size, kernel_init=init, recurrent_kernel_init=init,
+        bias_init=init, name=name, **kwargs)
+
+
 #: per-joint identity value of each raw output representation
 _IDENTITY_FEATURES = {
     MovementsModelOutputType.pose_changes: (1., 0., 0., 0., 1., 0.),

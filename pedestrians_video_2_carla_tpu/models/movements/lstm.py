@@ -4,6 +4,7 @@ from typing import Optional
 
 import flax.linen as nn
 
+from ..rnn import HoistedLSTM
 from .common import MovementsModel
 
 
@@ -19,8 +20,11 @@ class LSTM(MovementsModel):
         h = x.reshape(B, L, -1)
         if self.embeddings_size:
             h = nn.Dense(self.embeddings_size)(h)
-        for _ in range(self.num_layers):
-            h = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size))(h)
+        for i in range(self.num_layers):
+            # input-projection-hoisted layer, param-compatible with the
+            # previous nn.RNN(OptimizedLSTMCell) stack (models/rnn.py)
+            _, h = HoistedLSTM(self.hidden_size,
+                               name=f"OptimizedLSTMCell_{i}")(h)
         out = nn.Dense(out_joints * self.output_features)(h)
         return self.format_output(
             out.reshape(B, L, out_joints, self.output_features))

@@ -17,8 +17,8 @@ import numpy as np
 
 from ...flows.output_types import MovementsModelOutputType
 from ...ops.rotations import matrix_to_rotation_6d, rotation_6d_to_matrix
-from .common import MovementsModel, TorchDense, torch_lstm_cell,\
-    torch_uniform_init
+from .common import MovementsModel, TorchDense, torch_hoisted_lstm,\
+    torch_lstm_cell, torch_uniform_init
 
 
 class TeacherMode(Enum):
@@ -149,17 +149,22 @@ class Seq2Seq(MovementsModel):
         # x64 (debug) and relies on implicit promotion under bf16
         zero_carry = (jnp.zeros((B, self.hidden_size), inp.dtype),
                       jnp.zeros((B, self.hidden_size), inp.dtype))
+        # hoisted layers keep the flax-cell param subtree under the same
+        # auto-names (``OptimizedLSTMCell_{n}``, construction order: fwd then
+        # rev per layer) so checkpoints and ``models/torch_import.py`` load
+        # unchanged
+        cell_idx = 0
         for layer in range(self.num_layers):
-            rnn = nn.RNN(torch_lstm_cell(self.hidden_size),
-                         name=f"encoder_lstm_{layer}", return_carry=True,
-                         unroll=self.unroll)
+            rnn = torch_hoisted_lstm(self.hidden_size, unroll=self.unroll,
+                                     name=f"OptimizedLSTMCell_{cell_idx}")
+            cell_idx += 1
             carry, h = rnn(h, initial_carry=zero_carry)
             enc_states.append(carry)
             if self.bidirectional:
-                rnn_b = nn.RNN(torch_lstm_cell(self.hidden_size),
-                               name=f"encoder_lstm_{layer}_rev",
-                               return_carry=True, reverse=True,
-                               unroll=self.unroll)
+                rnn_b = torch_hoisted_lstm(
+                    self.hidden_size, reverse=True, unroll=self.unroll,
+                    name=f"OptimizedLSTMCell_{cell_idx}")
+                cell_idx += 1
                 carry_b, h_b = rnn_b(inp if layer == 0 else h,
                                      initial_carry=zero_carry)
                 h = jnp.concatenate([h, h_b], axis=-1)

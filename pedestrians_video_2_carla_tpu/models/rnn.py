@@ -1,0 +1,174 @@
+"""Hoisted recurrent layers: full-sequence LSTM/GRU with the input-side gate
+projections lifted out of the sequential scan.
+
+The reference's torch ``nn.LSTM``/``nn.GRU`` stacks (reference
+``modules/movements/lstm.py:6-81``, ``modules/movements/seq2seq/seq2seq.py:
+29-45``, ``modules/classification/lstm.py:9-95``) lower to cuDNN kernels that
+pre-compute the input projection ``x @ W_ih`` for every timestep as one
+batched GEMM. ``nn.RNN(nn.OptimizedLSTMCell(H))`` re-does that matmul inside
+every scan step, putting a (B, E) x (E, 4H) contraction on the sequential
+dependency chain. On TPU the fix is the same as cuDNN's: hoist the input
+projection to a single (B·L, E) x (E, 4H) MXU matmul before the scan and keep
+only the (B, H) x (H, 4H) hidden matmul + gating in the ``lax.scan`` body —
+for wide inputs this shrinks the per-step chain work ~(E+H)/H-fold (27x for
+Seq2SeqEmbeddings layer 0: E=1664, H=64).
+
+Math and parameter trees are bit-compatible with the flax cells
+(``OptimizedLSTMCell``: params ``i{i,f,g,o}`` kernel-only + ``h{i,f,g,o}``
+kernel+bias, gate order i,f,g,o; ``GRUCell``: ``i{r,z,n}`` kernel-only +
+``h{r,z,n}`` kernel+bias, candidate gate ``tanh(x@Wn + r * (h@Whn + bn))``),
+so instances named ``OptimizedLSTMCell_{n}`` / ``GRUCell_{n}`` load existing
+checkpoints and torch imports unchanged (``models/torch_import.py``).
+Equivalence vs the flax cells is tested in ``tests/models/test_rnn.py``.
+"""
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import initializers
+from flax.linen.dtypes import promote_dtype
+
+Carry = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+class _GateParams(nn.Module):
+    """Parameter-only child module producing the ``<name>/kernel`` (+
+    ``<name>/bias``) subtree of one flax-cell gate."""
+    fan_in: int
+    features: int
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.fan_in, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,)) \
+            if self.use_bias else None
+        return kernel, bias
+
+
+class HoistedLSTM(nn.Module):
+    """One LSTM layer over a whole ``(B, L, E)`` sequence, input projection
+    hoisted. Returns ``(final_carry, outputs)`` with carry ``(c, h)`` like
+    ``nn.RNN(cell, return_carry=True)``. With ``reverse=True`` the sequence
+    is processed back-to-front and outputs stay in processing order,
+    matching ``nn.RNN(reverse=True, keep_order=False)``."""
+    features: int
+    reverse: bool = False
+    unroll: int = 1
+    kernel_init: Any = initializers.lecun_normal()
+    recurrent_kernel_init: Any = initializers.orthogonal()
+    bias_init: Any = initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 initial_carry: Optional[Carry] = None):
+        B, L, E = x.shape
+        H = self.features
+        ks_i, ks_h, bs_h = [], [], []
+        for comp in "ifgo":
+            k, _ = _GateParams(E, H, False, self.kernel_init,
+                               self.bias_init, name=f"i{comp}")()
+            ks_i.append(k)
+        for comp in "ifgo":
+            k, b = _GateParams(H, H, True, self.recurrent_kernel_init,
+                               self.bias_init, name=f"h{comp}")()
+            ks_h.append(k)
+            bs_h.append(b)
+        k_i = jnp.concatenate(ks_i, axis=-1)               # (E, 4H)
+        k_h = jnp.concatenate(ks_h, axis=-1)               # (H, 4H)
+        b_h = jnp.concatenate(bs_h, axis=-1)               # (4H,)
+        (x, k_i, k_h, b_h) = promote_dtype(x, k_i, k_h, b_h, dtype=None)
+        dt = x.dtype
+        if initial_carry is None:
+            initial_carry = (jnp.zeros((B, H), dt), jnp.zeros((B, H), dt))
+        else:
+            initial_carry = jax.tree_util.tree_map(
+                lambda a: a.astype(dt), initial_carry)
+
+        # the hoisted input projection: ONE large MXU matmul for all frames
+        gx = (x.reshape(B * L, E) @ k_i).reshape(B, L, 4 * H)
+        gx = jnp.swapaxes(gx, 0, 1)                        # (L, B, 4H)
+        if self.reverse:
+            gx = jnp.flip(gx, axis=0)
+
+        def step(carry, gx_t):
+            c, h = carry
+            # (h @ k_h + b_h) + gx_t matches the flax cell's
+            # dense_h + dense_i summation order exactly
+            y = (h @ k_h + b_h) + gx_t
+            gi, gf, gg, go = jnp.split(y, 4, axis=-1)
+            i, f = nn.sigmoid(gi), nn.sigmoid(gf)
+            g, o = nn.tanh(gg), nn.sigmoid(go)
+            new_c = f * c + i * g
+            new_h = o * nn.tanh(new_c)
+            return (new_c, new_h), new_h
+
+        carry, hs = jax.lax.scan(step, initial_carry, gx,
+                                 unroll=self.unroll)
+        return carry, jnp.swapaxes(hs, 0, 1)               # (B, L, H)
+
+
+class HoistedGRU(nn.Module):
+    """One GRU layer over a whole ``(B, L, E)`` sequence, input projection
+    hoisted; parameter-tree- and math-compatible with ``nn.GRUCell``:
+    input denses ``i{r,z,n}`` carry kernel+bias, hidden denses ``h{r,z}``
+    are bias-free and the candidate ``hn`` has a bias —
+    ``n = tanh(dense_i(x) + r * dense_h_n(h))``."""
+    features: int
+    reverse: bool = False
+    unroll: int = 1
+    kernel_init: Any = initializers.lecun_normal()
+    recurrent_kernel_init: Any = initializers.orthogonal()
+    bias_init: Any = initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 initial_carry: Optional[jnp.ndarray] = None):
+        B, L, E = x.shape
+        H = self.features
+        ks_i, bs_i, ks_h = [], [], []
+        for comp in "rzn":
+            k, b = _GateParams(E, H, True, self.kernel_init,
+                               self.bias_init, name=f"i{comp}")()
+            ks_i.append(k)
+            bs_i.append(b)
+        for comp in "rzn":
+            k, b = _GateParams(H, H, comp == "n",
+                               self.recurrent_kernel_init, self.bias_init,
+                               name=f"h{comp}")()
+            ks_h.append(k)
+            if b is not None:
+                b_n = b
+        k_i = jnp.concatenate(ks_i, axis=-1)               # (E, 3H)
+        b_i = jnp.concatenate(bs_i, axis=-1)               # (3H,)
+        k_h = jnp.concatenate(ks_h, axis=-1)               # (H, 3H)
+        (x, k_i, b_i, k_h, b_n) = promote_dtype(
+            x, k_i, b_i, k_h, b_n, dtype=None)
+        dt = x.dtype
+        if initial_carry is None:
+            initial_carry = jnp.zeros((B, H), dt)
+        else:
+            initial_carry = initial_carry.astype(dt)
+
+        gx = (x.reshape(B * L, E) @ k_i + b_i).reshape(B, L, 3 * H)
+        gx = jnp.swapaxes(gx, 0, 1)                        # (L, B, 3H)
+        if self.reverse:
+            gx = jnp.flip(gx, axis=0)
+
+        def step(h, gx_t):
+            xr, xz, xn = jnp.split(gx_t, 3, axis=-1)
+            yh = h @ k_h
+            hr, hz, hn = jnp.split(yh, 3, axis=-1)
+            r = nn.sigmoid(xr + hr)
+            z = nn.sigmoid(xz + hz)
+            n = nn.tanh(xn + r * (hn + b_n))
+            new_h = (1.0 - z) * n + z * h
+            return new_h, new_h
+
+        carry, hs = jax.lax.scan(step, initial_carry, gx,
+                                 unroll=self.unroll)
+        return carry, jnp.swapaxes(hs, 0, 1)               # (B, L, H)

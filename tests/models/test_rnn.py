@@ -1,0 +1,92 @@
+"""HoistedLSTM/HoistedGRU: input-projection-hoisted full-sequence recurrent
+layers (models/rnn.py) must be bit-compatible — parameter tree AND math —
+with flax's ``nn.RNN(OptimizedLSTMCell/GRUCell)``, since they replaced those
+stacks in the LSTM/Seq2Seq movements models and the LSTM/GRU classifiers
+(reference ``modules/movements/lstm.py:6-81``, ``modules/classification/
+lstm.py:9-95`` lower to cuDNN kernels that hoist the same way)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pedestrians_video_2_carla_tpu.models.rnn import HoistedGRU, HoistedLSTM
+
+B, L, E, H = 3, 7, 11, 5
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jax.random.normal(jax.random.PRNGKey(0), (B, L, E))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_hoisted_lstm_matches_flax_rnn(x, reverse):
+    ref = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True,
+                 reverse=reverse, keep_order=False)
+    hoist = HoistedLSTM(H, reverse=reverse)
+    p = hoist.init(jax.random.PRNGKey(1), x)
+    carry_r, out_r = ref.apply({"params": {"cell": p["params"]}}, x)
+    carry_h, out_h = hoist.apply(p, x)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_h))
+    for a, b in zip(carry_r, carry_h):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_hoisted_gru_matches_flax_rnn(x, reverse):
+    ref = nn.RNN(nn.GRUCell(H), return_carry=True,
+                 reverse=reverse, keep_order=False)
+    hoist = HoistedGRU(H, reverse=reverse)
+    p = hoist.init(jax.random.PRNGKey(1), x)
+    carry_r, out_r = ref.apply({"params": {"cell": p["params"]}}, x)
+    carry_h, out_h = hoist.apply(p, x)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_h))
+    np.testing.assert_array_equal(np.asarray(carry_r), np.asarray(carry_h))
+
+
+def test_hoisted_lstm_initial_carry_and_grads(x):
+    ref = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True)
+    hoist = HoistedLSTM(H)
+    p = hoist.init(jax.random.PRNGKey(1), x)
+    pref = {"params": {"cell": p["params"]}}
+    c0 = (jax.random.normal(jax.random.PRNGKey(3), (B, H)),
+          jax.random.normal(jax.random.PRNGKey(4), (B, H)))
+    _, out_r = ref.apply(pref, x, initial_carry=c0)
+    _, out_h = hoist.apply(p, x, initial_carry=c0)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_h))
+
+    gref = jax.grad(lambda pp: ref.apply(pp, x)[1].sum())(pref)
+    gh = jax.grad(lambda pp: hoist.apply(pp, x)[1].sum())(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6),
+        gref["params"]["cell"], gh["params"])
+
+
+def test_model_param_trees_unchanged():
+    """The swapped-in hoisted layers must keep the flax-cell param names so
+    old checkpoints and models/torch_import.py keep loading."""
+    from pedestrians_video_2_carla_tpu.models.classification.recurrent \
+        import GRU as ClsGRU
+    from pedestrians_video_2_carla_tpu.models.movements.lstm import LSTM
+    from pedestrians_video_2_carla_tpu.models.movements.seq2seq \
+        import Seq2SeqEmbeddings
+
+    m = LSTM()
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 26, 2)))
+    assert {"OptimizedLSTMCell_0", "OptimizedLSTMCell_1"} <= \
+        set(p["params"])
+    assert set(p["params"]["OptimizedLSTMCell_0"]) == \
+        {"hf", "hg", "hi", "ho", "if", "ig", "ii", "io"}
+
+    m = Seq2SeqEmbeddings()
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 26, 2)))
+    assert {"OptimizedLSTMCell_0", "OptimizedLSTMCell_1", "decoder"} <= \
+        set(p["params"])
+
+    m = ClsGRU(num_classes=2)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 26, 2)))
+    assert {"GRUCell_0", "GRUCell_1"} <= set(p["params"])
+    assert set(p["params"]["GRUCell_0"]) == \
+        {"hn", "hr", "hz", "in", "ir", "iz"}

@@ -219,7 +219,11 @@ def test_pose_lifting_sharded_matches_single(model_name, model_kwargs,
     # backward (verified semantically exact: the same comparison in float64
     # agrees to 2.5e-14); tolerate ~2% relative noise on each element
     _assert_trees_close(sh_grads, sd_grads, atol=1e-4, rtol=2e-2)
-    _assert_trees_close(sh_ld, sd_ld, atol=1e-4)
+    # rtol matches the step-1 loss check: eval losses can sit around ~10, so
+    # a pure atol would fail on last-ulp reduction-order noise (the hoisted
+    # RNN input projection reduces (B*L, E) in one matmul; sharded runs split
+    # the batch axis and sum partials in a different order)
+    _assert_trees_close(sh_ld, sd_ld, atol=1e-4, rtol=1e-4)
 
 
 def test_classification_gnn_sharded_matches_single_with_metrics():
