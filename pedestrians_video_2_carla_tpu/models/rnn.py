@@ -13,6 +13,15 @@ only the (B, H) x (H, 4H) hidden matmul + gating in the ``lax.scan`` body —
 for wide inputs this shrinks the per-step chain work ~(E+H)/H-fold (27x for
 Seq2SeqEmbeddings layer 0: E=1664, H=64).
 
+Measured effect (real TPU, r2): the full Seq2SeqEmbeddings train step is at
+*parity* with the ``nn.RNN`` formulation (interleaved in-process A/B, best-of
+1.37 vs 1.44 ms at B=256 L=16 — ~5% ahead, within tunnel noise): at these
+shapes the step is dominated by the sequential teacher-forcing decoder, and
+XLA already keeps the encoder's per-step input GEMM off the critical path by
+overlapping scan iterations. Kept because it is structurally the right
+lowering (the win grows with E/H and clip length), is exactly
+checkpoint-compatible, and never loses.
+
 Math and parameter trees are bit-compatible with the flax cells
 (``OptimizedLSTMCell``: params ``i{i,f,g,o}`` kernel-only + ``h{i,f,g,o}``
 kernel+bias, gate order i,f,g,o; ``GRUCell``: ``i{r,z,n}`` kernel-only +

@@ -64,6 +64,27 @@ def test_hoisted_lstm_initial_carry_and_grads(x):
         gref["params"]["cell"], gh["params"])
 
 
+def test_hoisted_lstm_bf16_matches_flax_rnn(x):
+    """Under --precision bf16 params and inputs reach the layer as bf16;
+    the hoisted path must promote exactly like the flax cell (carry dtype
+    stability is what keeps lax.scan happy under AMP)."""
+    ref = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True)
+    hoist = HoistedLSTM(H)
+    p = hoist.init(jax.random.PRNGKey(1), x)
+    p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
+    x16 = x.astype(jnp.bfloat16)
+    carry_r, out_r = ref.apply({"params": {"cell": p16["params"]}}, x16)
+    carry_h, out_h = hoist.apply(p16, x16)
+    assert out_h.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_r, np.float32), np.asarray(out_h, np.float32),
+        atol=2e-2)
+    for a, b in zip(carry_r, carry_h):
+        assert b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-2)
+
+
 def test_model_param_trees_unchanged():
     """The swapped-in hoisted layers must keep the flax-cell param names so
     old checkpoints and models/torch_import.py keep loading."""
