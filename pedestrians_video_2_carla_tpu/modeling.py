@@ -43,6 +43,12 @@ def add_program_args(parser: argparse.ArgumentParser):
                         help="restrict the --mode=export artifact's outputs "
                              "(e.g. projection_2d); unused outputs are "
                              "dead-code-eliminated from the serving graph")
+    parser.add_argument("--export_polymorphic_batch", action="store_true",
+                        help="export the --mode=export artifact with a "
+                             "symbolic batch dimension: one artifact serves "
+                             "any batch size (XLA recompiles per distinct "
+                             "size at load time); requires the default "
+                             "--projection_kernel xla")
     parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
     parser.add_argument("--root_dir", default="outputs")
     parser.add_argument("--logs_dir", default=None)
@@ -532,7 +538,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         results["export_path"] = export_inference(
             flow, trainer.state, _np.asarray(sample[0]),
             _np.asarray(sample[2]["age_gender_idx"]), path,
-            output_keys=tuple(args.export_keys) if args.export_keys else None)
+            output_keys=tuple(args.export_keys) if args.export_keys else None,
+            polymorphic_batch=args.export_polymorphic_batch)
         print(f"exported inference artifact: {path}")
     return results
 

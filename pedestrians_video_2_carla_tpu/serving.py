@@ -64,17 +64,39 @@ def make_inference_fn(flow, state, output_keys=None
 
 
 def export_inference(flow, state, sample_inputs, sample_age_gender_idx,
-                     path: str, output_keys=None) -> str:
+                     path: str, output_keys=None,
+                     polymorphic_batch: bool = False) -> str:
     """Serialize the flow's inference function to ``path`` (+ ``.json`` meta).
 
-    Shapes are fixed to the sample's (static shapes are the TPU serving
-    contract anyway — pick the serving batch size here).
+    By default shapes are fixed to the sample's (static shapes are the TPU
+    serving contract anyway — pick the serving batch size here). With
+    ``polymorphic_batch=True`` the leading (batch) axis of both inputs is
+    exported as the shared symbolic dimension ``b`` (``jax.export``
+    shape polymorphism): ONE artifact then serves every batch size, at the
+    cost of XLA compiling per distinct runtime batch on first use —
+    pair it with bucketed batch sizes in the serving frontend.
+    Incompatible with the hand-written Pallas projection kernels, whose
+    grids are specialized on the batch extent at trace time.
     """
     infer = make_inference_fn(flow, state, output_keys=output_keys)
-    args = (jax.ShapeDtypeStruct(np.shape(sample_inputs),
-                                 np.asarray(sample_inputs).dtype),
-            jax.ShapeDtypeStruct(np.shape(sample_age_gender_idx),
-                                 np.asarray(sample_age_gender_idx).dtype))
+    if polymorphic_batch:
+        if getattr(flow, "projection_kernel", "xla") != "xla":
+            raise ValueError(
+                "polymorphic_batch=True requires projection_kernel='xla': "
+                "the Pallas kernels specialize their grid on the batch size")
+        scope = jax_export.SymbolicScope()
+        (b,) = jax_export.symbolic_shape("b", scope=scope)
+        args = (jax.ShapeDtypeStruct(
+                    (b,) + tuple(np.shape(sample_inputs)[1:]),
+                    np.asarray(sample_inputs).dtype),
+                jax.ShapeDtypeStruct(
+                    (b,) + tuple(np.shape(sample_age_gender_idx)[1:]),
+                    np.asarray(sample_age_gender_idx).dtype))
+    else:
+        args = (jax.ShapeDtypeStruct(np.shape(sample_inputs),
+                                     np.asarray(sample_inputs).dtype),
+                jax.ShapeDtypeStruct(np.shape(sample_age_gender_idx),
+                                     np.asarray(sample_age_gender_idx).dtype))
     try:
         # one artifact serves both CPU (dev/CI) and TPU (production)
         exported = jax_export.export(jax.jit(infer),
@@ -87,8 +109,10 @@ def export_inference(flow, state, sample_inputs, sample_age_gender_idx,
         f.write(blob)
     with open(path + ".json", "w") as f:
         json.dump({
-            "input_shapes": [list(np.shape(sample_inputs)),
-                             list(np.shape(sample_age_gender_idx))],
+            "input_shapes": [[str(d) for d in a.shape] for a in args]
+            if polymorphic_batch else
+            [list(np.shape(sample_inputs)),
+             list(np.shape(sample_age_gender_idx))],
             "input_dtypes": [str(np.asarray(sample_inputs).dtype),
                              str(np.asarray(sample_age_gender_idx).dtype)],
             "flow": type(flow).__name__,

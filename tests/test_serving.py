@@ -89,6 +89,47 @@ def test_export_output_keys_and_pallas_kernel(lifting_setup, tmp_path):
         make_inference_fn(flow, state, output_keys=("nope",))(inputs, agi)
 
 
+def test_export_polymorphic_batch(lifting_setup, tmp_path):
+    """polymorphic_batch=True: ONE artifact serves any batch size (symbolic
+    leading dim via jax.export shape polymorphism) and matches the direct
+    eval path at sizes never seen at export time."""
+    flow, state, batch = lifting_setup
+    inputs, _, meta = batch
+    agi = np.asarray(meta["age_gender_idx"])
+
+    path = export_inference(flow, state, inputs, agi,
+                            str(tmp_path / "poly.jaxexp"),
+                            polymorphic_batch=True)
+    call, info = load_inference(path)
+    assert info["input_shapes"][0][0] == "b"
+
+    direct_fn = jax.jit(make_inference_fn(flow, state))
+    for bs in (1, 3, 4):
+        served = call(inputs[:bs], agi[:bs])
+        direct = direct_fn(inputs[:bs], agi[:bs])
+        for k in direct:
+            np.testing.assert_allclose(np.asarray(served[k]),
+                                       np.asarray(direct[k]),
+                                       atol=1e-5, err_msg=f"{k} @ B={bs}")
+
+    # the Pallas kernels specialize their grid on the batch size -> refuse
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    flow_pal = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        projection_kernel="pallas")
+    with pytest.raises(ValueError, match="polymorphic_batch"):
+        export_inference(flow_pal, state, inputs, agi,
+                         str(tmp_path / "nope.jaxexp"),
+                         polymorphic_batch=True)
+
+
 def test_export_rejects_wrong_shape(lifting_setup, tmp_path):
     flow, state, batch = lifting_setup
     inputs, _, meta = batch
