@@ -5,19 +5,53 @@
 Checkpoints are flat ``np.savez`` pytree-leaf archives (portable, no extra
 deps, loadable without the model class); the monitored-best/last layout and
 ``file://``/``wandb://`` scheme resolution mirror the reference.
+
+Saves are **asynchronous** (the TPU-native pattern — the training loop must
+not stall on host IO): ``maybe_save``/``save_last`` take a host snapshot
+(device→host DMAs launched together via ``copy_to_host_async``, then
+materialized — the snapshot must finish in the caller because the Trainer's
+train step donates the state buffers) and hand the serialization + file IO
+to a single-worker thread, so the next train step launches immediately. The one
+worker serializes writes (last submitted wins per path), every archive is
+written to a temp file and ``os.replace``d into place (a crash never leaves
+a torn checkpoint), and ``wait()`` joins + re-raises write errors —
+``restore`` and the Trainer's fit-end call it. ``async_save=False`` restores
+fully synchronous semantics.
 """
 import json
 import os
-from typing import Any, Dict, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
 
 
+def _snapshot_host(tree: Any) -> List[Any]:
+    """Host-side numpy snapshot of the pytree leaves. All device→host DMAs
+    are launched first (``copy_to_host_async``) so they overlap, then
+    materialized. Must complete in the caller: the Trainer's train step
+    donates the state buffers (``donate_argnums=(0,)``), so a background
+    thread holding device arrays would race buffer invalidation."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+    return [np.asarray(leaf) for leaf in leaves]
+
+
+def _write_leaves(path: str, leaves: List[Any]) -> None:
+    """Atomic archive write: temp file + rename (numpy appends ``.npz`` to
+    bare string names, so write through an explicit file handle)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **{f"leaf_{i}": np.asarray(leaf)
+                       for i, leaf in enumerate(leaves)})
+    os.replace(tmp, path + ".npz")
+
+
 def _save_pytree(path: str, tree: Any) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    np.savez(path + ".npz", **{
-        f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)})
+    _write_leaves(path, jax.tree_util.tree_leaves(tree))
 
 
 def _load_pytree(path: str, like: Any) -> Any:
@@ -34,7 +68,7 @@ def _load_pytree(path: str, like: Any) -> Any:
 class CheckpointManager:
     def __init__(self, dirpath: str, monitor: str = "val_loss/primary",
                  mode: str = "min", save_top_k: int = 1,
-                 enabled: bool = True):
+                 enabled: bool = True, async_save: bool = True):
         #: ``enabled=False`` on non-zero hosts (rank-zero guard; the reference
         #: relies on Lightning's rank-zero ModelCheckpoint behavior)
         self.enabled = enabled
@@ -43,6 +77,11 @@ class CheckpointManager:
         self.mode = mode
         self.best_value: Optional[float] = None
         self.best_path: Optional[str] = None
+        # one worker = writes retire in submission order (last wins per path)
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt") \
+            if (enabled and async_save) else None
+        self._pending: List[Any] = []
         if enabled:
             os.makedirs(dirpath, exist_ok=True)
 
@@ -52,29 +91,51 @@ class CheckpointManager:
         return value < self.best_value if self.mode == "min" \
             else value > self.best_value
 
+    def _submit(self, fn, *args) -> None:
+        if self._executor is None:
+            fn(*args)
+            return
+        self._pending = [f for f in self._pending if not f.done()]
+        self._pending.append(self._executor.submit(fn, *args))
+
+    def wait(self) -> None:
+        """Join pending writes; re-raises the first write error."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
     def maybe_save(self, state, metrics: Dict[str, float], step: int) -> bool:
         if not self.enabled:
             return False
         value = metrics.get(self.monitor)
         if value is None or not self._is_better(value):
             return False
-        if self.best_path and os.path.exists(self.best_path + ".npz"):
-            os.remove(self.best_path + ".npz")
+        prev_path = self.best_path
         self.best_value = value
         self.best_path = os.path.join(self.dirpath, f"best-step{step}")
-        _save_pytree(self.best_path, state)
-        with open(os.path.join(self.dirpath, "best.json"), "w") as f:
-            json.dump({"path": self.best_path, "step": step,
-                       self.monitor: float(value)}, f)
+        leaves = _snapshot_host(state)
+
+        def job(path=self.best_path, prev=prev_path, val=float(value)):
+            if prev and os.path.exists(prev + ".npz"):
+                os.remove(prev + ".npz")  # save_top_k=1
+            _write_leaves(path, leaves)
+            meta_tmp = os.path.join(self.dirpath, "best.json.tmp")
+            with open(meta_tmp, "w") as f:
+                json.dump({"path": path, "step": step, self.monitor: val}, f)
+            os.replace(meta_tmp, os.path.join(self.dirpath, "best.json"))
+
+        self._submit(job)
         return True
 
     def save_last(self, state, step: int) -> str:
         path = os.path.join(self.dirpath, "last")
         if self.enabled:
-            _save_pytree(path, state)
+            leaves = _snapshot_host(state)
+            self._submit(_write_leaves, path, leaves)
         return path
 
     def restore(self, like_state, path: Optional[str] = None):
+        self.wait()  # a just-submitted save must be visible to its restore
         if path is None:
             with open(os.path.join(self.dirpath, "best.json")) as f:
                 path = json.load(f)["path"]

@@ -215,6 +215,9 @@ class Trainer:
               if isinstance(v, (int, float)) and k.startswith("val/")}
         if hp:
             self.logger.log_hparams(hp)
+        # join async checkpoint writes (and surface any write error) before
+        # declaring the fit done
+        self.checkpoints.wait()
         return self.state
 
     def _check_anomaly(self, host_logs, global_step: int) -> None:

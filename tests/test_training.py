@@ -27,6 +27,7 @@ def test_checkpoint_monitored_best_top1(tmp_path):
     assert not cm.maybe_save(STATE, {"other": 0.0}, step=3)
     # better value: saved, and the previous best file is removed (top-1)
     assert cm.maybe_save(STATE, {"val_loss/primary": 0.5}, step=4)
+    cm.wait()  # saves are async: join the writer before asserting on disk
     assert not os.path.exists(first_best + ".npz")
     assert os.path.exists(cm.best_path + ".npz")
     meta = json.loads((tmp_path / "best.json").read_text())
@@ -52,7 +53,29 @@ def test_checkpoint_disabled_is_rank_zero_noop(tmp_path):
     cm = CheckpointManager(str(target), enabled=False)
     assert not cm.maybe_save(STATE, {"val_loss/primary": 0.1}, step=1)
     cm.save_last(STATE, step=1)
+    cm.wait()
     assert not target.exists()  # never even creates the directory
+
+
+def test_checkpoint_async_semantics(tmp_path):
+    """Async saves: the snapshot is taken at call time (later state mutation
+    can't leak into an in-flight write), repeated save_last retires in order
+    (last wins), no torn temp files remain, and async_save=False stays
+    synchronous."""
+    cm = CheckpointManager(str(tmp_path))
+    state = {"w": jnp.zeros(4)}
+    stem = cm.save_last(state, step=1)
+    state["w"] = jnp.ones(4)  # mutate AFTER the save call
+    cm.save_last(state, step=2)
+    # restore() self-waits; both writes retired in order -> last wins
+    r = cm.restore({"w": jnp.zeros(4)}, path=stem)
+    np.testing.assert_allclose(np.asarray(r["w"]), 1.0)
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+
+    sync = CheckpointManager(str(tmp_path / "sync"), async_save=False)
+    sync.save_last(STATE, step=1)
+    # synchronous: on disk immediately, no wait() needed
+    assert os.path.exists(str(tmp_path / "sync" / "last.npz"))
 
 
 def test_resolve_ckpt_path_schemes(tmp_path):
@@ -61,6 +84,7 @@ def test_resolve_ckpt_path_schemes(tmp_path):
     cm = CheckpointManager(str(run_dir))
     cm.save_last(STATE, step=1)
     cm.maybe_save(STATE, {"val_loss/primary": 1.0}, step=2)
+    cm.wait()
 
     assert resolve_ckpt_path("plain/path") == "plain/path"
     assert resolve_ckpt_path("file:///x/y.npz") == "/x/y.npz"
