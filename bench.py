@@ -23,6 +23,30 @@ CLIP = 16
 TRAIN_STEPS = 50
 
 
+def _timed_loop(step, steps, warmup, bursts=3):
+    """Shared timing methodology for EVERY benchmark in this file: ``warmup``
+    untimed iterations (remote-tunnel runtime needs several to reach steady
+    state), then the best (min wall-time) of ``bursts`` timed bursts of
+    ``steps`` calls — tunnel noise only ever *subtracts* throughput, so the
+    min is the least-noisy estimate. ``step()`` runs one iteration and
+    returns a value to block on at burst boundaries. Returns the best burst
+    duration in seconds."""
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = step()
+    jax.block_until_ready(out)
+    dt = float("inf")
+    for _ in range(bursts):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = step()
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+    return dt
+
+
 def bench_tpu_train():
     import jax
     import numpy as np
@@ -48,25 +72,15 @@ def bench_tpu_train():
             movements_optimizer=OptimizerSettings(lr=1e-3),
             projection_kernel=projection_kernel,
         )
-        state = flow.init_state(jax.random.PRNGKey(1), batch)
+        state_box = [flow.init_state(jax.random.PRNGKey(1), batch)]
         train_step = jax.jit(flow.training_step, donate_argnums=(0,))
         rng = training_rng(2)
-        # warmup/compile (the remote-tunnel runtime needs several iterations
-        # before steady-state timing)
-        for _ in range(5):
-            state, logs = train_step(state, batch, rng)
-        jax.block_until_ready(logs)
 
-        # best-of-3 bursts: the remote-tunnel runtime adds ~±20% run-to-run
-        # noise that only ever *subtracts* throughput, so the max over
-        # repeated steady-state bursts is the least-noisy estimate
-        dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(TRAIN_STEPS):
-                state, logs = train_step(state, batch, rng)
-            jax.block_until_ready(logs)
-            dt = min(dt, time.perf_counter() - t0)
+        def step():
+            state_box[0], logs = train_step(state_box[0], batch, rng)
+            return logs
+
+        dt = _timed_loop(step, TRAIN_STEPS, warmup=5)
         return BATCH * TRAIN_STEPS / dt
 
     # headline = the faster of the two production train-step kernels: the
@@ -91,16 +105,7 @@ def bench_tpu_train():
     def project(changes):
         return pm(proj_state, changes)[0]
 
-    for _ in range(20):
-        out = project(changes)
-    out.block_until_ready()
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 bursts
-        t0 = time.perf_counter()
-        for _ in range(TRAIN_STEPS):
-            out = project(changes)
-        out.block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+    dt = _timed_loop(lambda: project(changes), TRAIN_STEPS, warmup=20)
     fk_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
 
     # hand-written Pallas kernel variant of the same fused path
@@ -117,16 +122,7 @@ def bench_tpu_train():
     cam = make_camera()
     pallas_fn = jax.jit(
         lambda c: fused_projection_pallas(c, rl, rr, cam))
-    for _ in range(20):
-        out = pallas_fn(changes)
-    out.block_until_ready()
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 bursts
-        t0 = time.perf_counter()
-        for _ in range(TRAIN_STEPS):
-            out = pallas_fn(changes)
-        out.block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+    dt = _timed_loop(lambda: pallas_fn(changes), TRAIN_STEPS, warmup=20)
     pallas_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
     return clips_per_sec, kernel_rates, fk_us_per_clip, pallas_us_per_clip
 
@@ -170,16 +166,13 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
     # through the remote tunnel, 20-300 s per new shape)
     train_step = jax.jit(flow.training_step, donate_argnums=(0,)) \
         .lower(state, batch, rng).compile()
-    for _ in range(warmup):
-        state, logs = train_step(state, batch, rng)
-    jax.block_until_ready(logs)
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 bursts (tunnel noise only subtracts)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, logs = train_step(state, batch, rng)
-        jax.block_until_ready(logs)
-        dt = min(dt, time.perf_counter() - t0)
+    state_box = [state]
+
+    def step():
+        state_box[0], logs = train_step(state_box[0], batch, rng)
+        return logs
+
+    dt = _timed_loop(step, steps, warmup=warmup)
     clips_per_sec = batch_size * steps / dt
     return clips_per_sec, _roofline(train_step, batch_size / clips_per_sec)
 
@@ -322,16 +315,13 @@ def bench_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
         rng = training_rng(2)
         train_step = jax.jit(flow.training_step, donate_argnums=(0,)) \
             .lower(state, batch, rng).compile()
-        for _ in range(warmup):
-            state, logs = train_step(state, batch, rng)
-        jax.block_until_ready(logs)
-        dt = float("inf")
-        for _ in range(3):  # best-of-3 bursts
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                state, logs = train_step(state, batch, rng)
-            jax.block_until_ready(logs)
-            dt = min(dt, time.perf_counter() - t0)
+        state_box = [state]
+
+        def step():
+            state_box[0], logs = train_step(state_box[0], batch, rng)
+            return logs
+
+        dt = _timed_loop(step, steps, warmup=warmup)
         cps = batch_size * steps / dt
         out[f"classification_{model_name.lower()}_clips_per_sec"] = \
             round(cps, 2)
@@ -378,17 +368,8 @@ def bench_serving(batch_size=BATCH, clip_length=CLIP, steps=30, warmup=5):
         served = jax.jit(call)
         inputs_dev = jax.device_put(inputs)
         agi_dev = jax.device_put(agi)
-        for _ in range(warmup):
-            out = served(inputs_dev, agi_dev)
-        jax.block_until_ready(out)
-        dt = float("inf")
-        for _ in range(3):  # best-of-3 bursts (noise only subtracts)
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                out = served(inputs_dev, agi_dev)
-            jax.block_until_ready(out)
-            dt = min(dt, time.perf_counter() - t0)
-        return dt
+        return _timed_loop(lambda: served(inputs_dev, agi_dev),
+                           steps, warmup=warmup)
 
     dt = _time_artifact(flow)
     results = {

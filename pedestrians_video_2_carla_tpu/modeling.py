@@ -547,9 +547,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 def known_name(args) -> str:
     """Generated run name when ``--run_name`` is absent: a randomname-style
     ``adjective-noun`` version string (reference ``modeling.py:160-161``),
-    prefixed with the datamodule so runs group naturally on disk."""
-    from .utils.naming import random_run_name
-    return f"{args.data_module_name}-{random_run_name()}"
+    prefixed with the datamodule so runs group naturally on disk. The name's
+    log dir is reserved atomically so concurrent unnamed runs (sweep.py
+    trials, compare.py's thread pool) can never share a run directory."""
+    from .utils.naming import unique_run_name
+    logs_dir = args.logs_dir or f"{args.root_dir}/logs/{args.flow}"
+    return unique_run_name(logs_dir, prefix=f"{args.data_module_name}-")
 
 
 def run():

@@ -155,19 +155,31 @@ class Seq2Seq(MovementsModel):
         # unchanged
         cell_idx = 0
         for layer in range(self.num_layers):
+            layer_in = h  # both directions read the SAME layer input, like
+            # torch nn.LSTM(bidirectional=True): layer 0 the raw sequence,
+            # deeper layers the previous layer's (2H) direction concat
             rnn = torch_hoisted_lstm(self.hidden_size, unroll=self.unroll,
                                      name=f"OptimizedLSTMCell_{cell_idx}")
             cell_idx += 1
-            carry, h = rnn(h, initial_carry=zero_carry)
+            carry, h = rnn(layer_in, initial_carry=zero_carry)
             enc_states.append(carry)
             if self.bidirectional:
                 rnn_b = torch_hoisted_lstm(
                     self.hidden_size, reverse=True, unroll=self.unroll,
                     name=f"OptimizedLSTMCell_{cell_idx}")
                 cell_idx += 1
-                carry_b, h_b = rnn_b(inp if layer == 0 else h,
-                                     initial_carry=zero_carry)
-                h = jnp.concatenate([h, h_b], axis=-1)
+                carry_b, h_b = rnn_b(layer_in, initial_carry=zero_carry)
+                # h_b comes back in processing order (last frame first);
+                # flip to input order so frame t concatenates fwd state
+                # *through* t with bwd state *from* t — torch's alignment
+                h = jnp.concatenate([h, jnp.flip(h_b, axis=1)], axis=-1)
+                # redesign vs the reference: its "bidirectional decoder" runs
+                # an nn.LSTM(bidirectional=True) on single-frame sequences,
+                # i.e. two independent cells seeded by the two directional
+                # states with their outputs concatenated; here the
+                # unidirectional scan decoder starts from the *mean* of the
+                # two directional states instead (same information, half the
+                # decoder params)
                 enc_states[-1] = jax.tree_util.tree_map(
                     lambda a, b: (a + b) / 2, carry, carry_b)
             if layer < self.num_layers - 1:

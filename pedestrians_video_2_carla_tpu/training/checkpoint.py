@@ -82,6 +82,7 @@ class CheckpointManager:
             max_workers=1, thread_name_prefix="ckpt") \
             if (enabled and async_save) else None
         self._pending: List[Any] = []
+        self._error: Optional[BaseException] = None
         if enabled:
             os.makedirs(dirpath, exist_ok=True)
 
@@ -95,16 +96,32 @@ class CheckpointManager:
         if self._executor is None:
             fn(*args)
             return
-        self._pending = [f for f in self._pending if not f.done()]
+        # prune retired futures, but NEVER drop a failure: stash the first
+        # error so wait() still re-raises it (a submit between the failure
+        # and the wait must not swallow it)
+        kept = []
+        for f in self._pending:
+            if not f.done():
+                kept.append(f)
+            elif f.exception() is not None and self._error is None:
+                self._error = f.exception()
+        self._pending = kept
         self._pending.append(self._executor.submit(fn, *args))
 
     def wait(self) -> None:
-        """Join pending writes; re-raises the first write error."""
+        """Join pending writes; re-raises the first write error (including
+        errors from writes that retired before this call)."""
         pending, self._pending = self._pending, []
         for f in pending:
-            f.result()
+            err = f.exception()
+            if err is not None and self._error is None:
+                self._error = err
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
-    def maybe_save(self, state, metrics: Dict[str, float], step: int) -> bool:
+    def maybe_save(self, state, metrics: Dict[str, float], step: int,
+                   _leaves: Optional[List[Any]] = None) -> bool:
         if not self.enabled:
             return False
         value = metrics.get(self.monitor)
@@ -113,26 +130,40 @@ class CheckpointManager:
         prev_path = self.best_path
         self.best_value = value
         self.best_path = os.path.join(self.dirpath, f"best-step{step}")
-        leaves = _snapshot_host(state)
+        leaves = _snapshot_host(state) if _leaves is None else _leaves
 
         def job(path=self.best_path, prev=prev_path, val=float(value)):
-            if prev and os.path.exists(prev + ".npz"):
-                os.remove(prev + ".npz")  # save_top_k=1
+            # write the new best FIRST: a failed write must leave the
+            # previous best checkpoint (and its best.json) intact on disk
             _write_leaves(path, leaves)
             meta_tmp = os.path.join(self.dirpath, "best.json.tmp")
             with open(meta_tmp, "w") as f:
                 json.dump({"path": path, "step": step, self.monitor: val}, f)
             os.replace(meta_tmp, os.path.join(self.dirpath, "best.json"))
+            if prev and os.path.exists(prev + ".npz"):
+                os.remove(prev + ".npz")  # save_top_k=1
 
         self._submit(job)
         return True
 
-    def save_last(self, state, step: int) -> str:
+    def save_last(self, state, step: int,
+                  _leaves: Optional[List[Any]] = None) -> str:
         path = os.path.join(self.dirpath, "last")
         if self.enabled:
-            leaves = _snapshot_host(state)
+            leaves = _snapshot_host(state) if _leaves is None else _leaves
             self._submit(_write_leaves, path, leaves)
         return path
+
+    def save(self, state, metrics: Dict[str, float], step: int) -> bool:
+        """End-of-validation save: monitored-best check + 'last', sharing ONE
+        host snapshot of the state (the Trainer calls both back-to-back —
+        two independent snapshots would double the device→host traffic)."""
+        if not self.enabled:
+            return False
+        leaves = _snapshot_host(state)
+        saved = self.maybe_save(state, metrics, step, _leaves=leaves)
+        self.save_last(state, step, _leaves=leaves)
+        return saved
 
     def restore(self, like_state, path: Optional[str] = None):
         self.wait()  # a just-submitted save must be visible to its restore

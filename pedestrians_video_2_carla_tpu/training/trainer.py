@@ -204,9 +204,8 @@ class Trainer:
                     val_metrics = self.evaluate(
                         "val", self.config.limit_val_batches)
                     summary.update(val_metrics)
-                    self.checkpoints.maybe_save(
+                    self.checkpoints.save(
                         self.state, val_metrics, step=global_step)
-                    self.checkpoints.save_last(self.state, step=global_step)
 
                 self.logger.log_scalars(global_step, summary)
 

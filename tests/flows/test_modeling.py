@@ -193,13 +193,17 @@ def test_autoencoder_flow_with_noise():
     assert "val/PCKhn@01" in vm and "val/MSE" in vm
 
 
-def test_random_run_name_generated():
+def test_random_run_name_generated(tmp_path):
     """Without --run_name the CLI generates a randomname-style version
-    string (reference ``modeling.py:160-161``)."""
+    string (reference ``modeling.py:160-161``) whose log dir is reserved
+    atomically — concurrent unnamed runs can never collide."""
+    import os
     import random
 
     from pedestrians_video_2_carla_tpu.modeling import known_name
-    from pedestrians_video_2_carla_tpu.utils.naming import random_run_name
+    from pedestrians_video_2_carla_tpu.utils import naming
+    from pedestrians_video_2_carla_tpu.utils.naming import (random_run_name,
+                                                            unique_run_name)
 
     name = random_run_name(random.Random(0))
     assert name == random_run_name(random.Random(0))  # seedable
@@ -209,8 +213,26 @@ def test_random_run_name_generated():
     class Args:
         data_module_name = "Carla2D3D"
         run_name = None
+        logs_dir = None
+        root_dir = str(tmp_path)
+        flow = "pose_lifting"
 
-    assert known_name(Args()).startswith("Carla2D3D-")
+    got = known_name(Args())
+    assert got.startswith("Carla2D3D-")
+    assert os.path.isdir(tmp_path / "logs" / "pose_lifting" / got)
+
+    # collision exhaustion: with a 1x1 vocabulary every plain draw collides
+    # after the first, so the salt must keep names unique and reserved
+    orig_a, orig_n = naming._ADJECTIVES, naming._NOUNS
+    naming._ADJECTIVES, naming._NOUNS = ("one",), ("two",)
+    try:
+        names = {unique_run_name(str(tmp_path / "crowded"))
+                 for _ in range(10)}
+    finally:
+        naming._ADJECTIVES, naming._NOUNS = orig_a, orig_n
+    assert len(names) == 10
+    for n in names:
+        assert os.path.isdir(tmp_path / "crowded" / n)
 
 
 def test_classification_flow():

@@ -86,6 +86,25 @@ def test_seq2seq_teacher_forcing_runs(rng):
     _check_output(out, MOT.pose_changes)
 
 
+def test_seq2seq_bidirectional_wiring(rng):
+    """Bidirectional encoder, torch nn.LSTM(bidirectional=True) dataflow
+    (reference ``seq2seq.py:29-45``): both directions of every layer read the
+    SAME layer input — so layer>=1 cells must have fan-in 2H (the previous
+    layer's direction concat), not H — and the model runs/grads finitely."""
+    model = MOVEMENTS_MODELS["Seq2Seq"](bidirectional=True, num_layers=2)
+    x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
+    out, params = _init_and_apply(model, x)
+    _check_output(out, MOT.pose_changes)
+    H = model.hidden_size
+    p = params["params"]
+    # layer 0: fwd (cell 0) and bwd (cell 1) both read the raw input
+    assert p["OptimizedLSTMCell_0"]["ii"]["kernel"].shape[0] == \
+        p["OptimizedLSTMCell_1"]["ii"]["kernel"].shape[0] == J * 2
+    # layer 1: fwd (cell 2) and bwd (cell 3) both read the 2H concat
+    assert p["OptimizedLSTMCell_2"]["ii"]["kernel"].shape[0] == 2 * H
+    assert p["OptimizedLSTMCell_3"]["ii"]["kernel"].shape[0] == 2 * H
+
+
 def test_seq2seq_residual_variants_differ(rng):
     x = jnp.asarray(rng.normal(size=(B, L, J, 2)).astype(np.float32))
     outs = {}

@@ -78,6 +78,40 @@ def test_checkpoint_async_semantics(tmp_path):
     assert os.path.exists(str(tmp_path / "sync" / "last.npz"))
 
 
+def test_checkpoint_async_write_errors_surface(tmp_path, monkeypatch):
+    """A failed async write must (a) re-raise at wait() even if later
+    submits retired the failed future first, and (b) leave the previous
+    best checkpoint + best.json intact (new best is written before the old
+    one is deleted)."""
+    import pedestrians_video_2_carla_tpu.training.checkpoint as ckpt
+
+    cm = CheckpointManager(str(tmp_path))
+    assert cm.maybe_save(STATE, {"val_loss/primary": 1.0}, step=1)
+    cm.wait()
+    good_best = cm.best_path
+
+    real_write = ckpt._write_leaves
+
+    def failing_write(path, leaves):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(ckpt, "_write_leaves", failing_write)
+    assert cm.maybe_save(STATE, {"val_loss/primary": 0.5}, step=2)
+    import time
+    for _ in range(100):  # let the failed future retire
+        if all(f.done() for f in cm._pending):
+            break
+        time.sleep(0.02)
+    monkeypatch.setattr(ckpt, "_write_leaves", real_write)
+    cm.save_last(STATE, step=2)  # prunes the failed future — must not drop it
+    with pytest.raises(OSError, match="disk full"):
+        cm.wait()
+    # previous best + its metadata survived the failed write
+    assert os.path.exists(good_best + ".npz")
+    meta = json.loads((tmp_path / "best.json").read_text())
+    assert meta["path"] == good_best
+
+
 def test_resolve_ckpt_path_schemes(tmp_path):
     run_dir = tmp_path / "logs" / "flow" / "shiny-run" / "checkpoints"
     run_dir.mkdir(parents=True)
