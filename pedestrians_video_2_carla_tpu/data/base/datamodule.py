@@ -106,6 +106,11 @@ class BaseDataModule:
             "subsets", digest, run_id)
         os.makedirs(save_dir, exist_ok=True)
 
+        if not outputs:
+            raise ValueError(
+                f"save_predictions({set_name!r}): Trainer.predict yielded no "
+                f"batches — the subset is empty or every batch was dropped "
+                f"(e.g. undecodable videos); nothing to save")
         all_proj, all_targets, all_meta = [], [], []
         for preds, targets, meta in outputs:
             key = "projection_2d_transformed" \

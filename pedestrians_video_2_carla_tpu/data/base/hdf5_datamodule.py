@@ -193,7 +193,13 @@ class Hdf5DataModule(BaseDataModule):
                       **{f"targets/{k}": v for k, v in targets.items()
                          if isinstance(v, np.ndarray)
                          and v.dtype.kind in "biuf"}}
-            if not os.path.exists(bin_path + ".json")                     or os.path.getmtime(bin_path)                     < os.path.getmtime(hdf5_path):
+            # both files must exist before trusting mtimes: a deleted .bin
+            # with a surviving .json would crash getmtime (swallowed below),
+            # permanently disabling the native fast path with no rebuild
+            if not (os.path.exists(bin_path)
+                    and os.path.exists(bin_path + ".json")) \
+                    or os.path.getmtime(bin_path) \
+                    < os.path.getmtime(hdf5_path):
                 BinarySubsetCache.write(bin_path, arrays)
             self._native_caches = getattr(self, "_native_caches", {})
             self._native_caches[name] = BinarySubsetCache(bin_path)
@@ -213,10 +219,15 @@ class Hdf5DataModule(BaseDataModule):
             np.random.default_rng(self.seed + seed).shuffle(order)
         key = jax.random.PRNGKey(self.seed + seed + (17 if training else 3))
         num_batches = n // self.batch_size
-        if num_batches == 0:
-            # pad the final partial batch by wrapping around (static shapes)
-            order = np.resize(order, self.batch_size)
-            num_batches = 1
+        if num_batches == 0 or (not training and n % self.batch_size):
+            # pad the final partial batch by wrapping around: static shapes
+            # keep ONE compiled step per stage, and eval/test/predict must
+            # cover every sample (<= batch_size-1 wrap-around duplicates
+            # beat silently dropping the remainder). Training keeps the
+            # usual drop-last semantics for unbiased gradients, except when
+            # the whole set is smaller than one batch.
+            num_batches += 1
+            order = np.resize(order, num_batches * self.batch_size)
         native = getattr(self, "_native_caches", {}).get(name)
         for b in range(num_batches):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]

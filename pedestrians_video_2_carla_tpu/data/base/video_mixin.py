@@ -32,11 +32,12 @@ def read_clip_frames(video_path: str, start_frame: int, end_frame: int
     return np.stack(frames)
 
 
-def square_crop(frames: np.ndarray, bbox: np.ndarray,
-                margin: float = 0.2) -> np.ndarray:
-    """Crop a square region around the clip bbox (reference
-    ``video_mixin.py:144-184``)."""
-    h, w = frames.shape[1:3]
+def crop_rect(frame_hw: Tuple[int, int], bbox: np.ndarray,
+              margin: float = 0.2) -> Tuple[int, int, int, int]:
+    """Square crop region around the clip bbox (reference
+    ``video_mixin.py:144-184``) as ``(x1, y1, x2, y2)``; degenerate bboxes
+    fall back to the full frame."""
+    h, w = frame_hw
     x1, y1 = bbox.reshape(-1, 2).min(axis=0)
     x2, y2 = bbox.reshape(-1, 2).max(axis=0)
     cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
@@ -46,7 +47,14 @@ def square_crop(frames: np.ndarray, bbox: np.ndarray,
     x2c = int(min(w, cx + half))
     y2c = int(min(h, cy + half))
     if x2c <= x1c or y2c <= y1c:
-        return frames
+        return 0, 0, w, h
+    return x1c, y1c, x2c, y2c
+
+
+def square_crop(frames: np.ndarray, bbox: np.ndarray,
+                margin: float = 0.2) -> np.ndarray:
+    """Crop a square region around the clip bbox."""
+    x1c, y1c, x2c, y2c = crop_rect(frames.shape[1:3], bbox, margin)
     return frames[:, y1c:y2c, x1c:x2c]
 
 
@@ -71,6 +79,12 @@ class VideoDataModuleMixin:
                  heatmaps_sigma: float = 3.0,
                  heatmaps_stride: int = 8,
                  **kwargs):
+        # forward source_videos_dir: the wrapped datamodule uses it too
+        # (CarlaRecorded locates data.csv in it) — consuming it here would
+        # silently point the CSV at the default location while decoding
+        # videos from the user's directory
+        if source_videos_dir is not None:
+            kwargs["source_videos_dir"] = source_videos_dir
         super().__init__(**kwargs)
         self.source_videos_dir = source_videos_dir \
             or getattr(self, "source_videos_dir", None)
@@ -91,9 +105,16 @@ class VideoDataModuleMixin:
         return os.path.join(self.source_videos_dir, name)
 
     def _with_video_inputs(self, batches: Iterator) -> Iterator:
+        import warnings
+
         for inputs, targets, meta in batches:
             clips = []
-            ok = True
+            # per-clip frame-pixel -> model-frame transform: the same crop +
+            # resize applied to the pixels must be applied to the keypoint
+            # targets, otherwise heatmap peaks land off the pedestrian
+            kp_offset = []
+            kp_scale = []
+            dropped = None
             B = len(np.asarray(inputs))
             for i in range(B):
                 video_id = str(np.asarray(meta.get(
@@ -107,13 +128,23 @@ class VideoDataModuleMixin:
                                           start, end) \
                     if video_id is not None else None
                 if frames is None:
-                    ok = False
+                    dropped = self._video_path(video_id) \
+                        if video_id is not None else "<no video_id in meta>"
                     break
                 if self.crop_to_bbox and "bboxes" in targets:
-                    frames = square_crop(frames,
-                                         np.asarray(targets["bboxes"])[i])
+                    x1c, y1c, x2c, y2c = crop_rect(
+                        frames.shape[1:3], np.asarray(targets["bboxes"])[i])
+                    frames = frames[:, y1c:y2c, x1c:x2c]
+                else:
+                    x1c, y1c = 0, 0
+                    y2c, x2c = frames.shape[1:3]
+                kp_offset.append((x1c, y1c))
+                kp_scale.append((1.0 / (x2c - x1c), 1.0 / (y2c - y1c)))
                 clips.append(to_model_frames(frames, self.video_size))
-            if not ok:
+            if dropped is not None:
+                warnings.warn(
+                    f"dropping a whole batch of {B} clips: failed to decode "
+                    f"{dropped!r} — check --source_videos_dir")
                 continue
             video_inputs = np.stack(clips)
             new_targets = dict(targets)
@@ -122,12 +153,14 @@ class VideoDataModuleMixin:
                 import jax.numpy as jnp
                 w = self.video_size[1] // self.heatmaps_stride
                 h = self.video_size[0] // self.heatmaps_stride
-                # keypoints scaled into the heatmap canvas
-                kp = np.asarray(targets["projection_2d"])
-                scale = np.asarray([w, h], np.float32) / np.asarray(
-                    [800.0, 600.0], np.float32)
+                # frame-pixel keypoints through the per-clip crop, then into
+                # the heatmap canvas
+                kp = np.asarray(targets["projection_2d"], np.float32)
+                off = np.asarray(kp_offset, np.float32)[:, None, None, :]
+                sc = np.asarray(kp_scale, np.float32)[:, None, None, :] \
+                    * np.asarray([w, h], np.float32)
                 hm = np.asarray(gaussian_heatmaps(
-                    jnp.asarray(kp * scale), (w, h),
+                    jnp.asarray((kp - off) * sc), (w, h),
                     self.heatmaps_sigma))
                 new_targets["heatmaps"] = hm
             # strip string meta again: only numeric meta may reach the device

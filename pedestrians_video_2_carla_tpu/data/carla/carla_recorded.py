@@ -84,30 +84,9 @@ class CarlaRecordedDataModule(ClassificationDataModuleMixin,
                               .str.replace(".mp4", "", regex=False)})
         return super()._clean_filter_sort_data(df)
 
-    def _extract_clips(self, annotations_df):
-        # frames are indexed by 'frame.idx' only; 'clip' is assigned here
-        frame_col = "frame.idx"
-        clips = []
-        for idx, video in annotations_df.groupby(
-                level=list(range(len(self.primary_index)))):
-            video = video.sort_values(frame_col)
-            if len(video) < self.min_video_length:
-                continue
-            frames = video[frame_col].to_numpy() \
-                if frame_col in video.columns else np.arange(len(video))
-            breaks = np.nonzero(np.diff(frames) > 1)[0] + 1
-            bounds = zip(np.concatenate([[0], breaks]),
-                         np.concatenate([breaks, [len(frames)]]))
-            ci = 0
-            for start, stop in bounds:
-                run = video.iloc[start:stop]
-                pos = 0
-                while pos + self.clip_length <= len(run):
-                    clips.append(run.iloc[pos:pos + self.clip_length]
-                                 .reset_index().assign(clip=ci))
-                    ci += 1
-                    pos += self.clip_offset
-        return clips
+    # clip windowing comes from PandasDataModuleMixin._extract_clips
+    # (clips_index[-1] == "frame.idx" here) — keeping a local copy in sync
+    # proved error-prone, so there is none
 
     def _clean_filter_sort_clips(self, clips: List[pd.DataFrame]):
         return [c for c in clips if self._has_pedestrian_in_all_frames(c)]

@@ -64,7 +64,9 @@ class AMASSDataModule(PandasDataModuleMixin, Hdf5DataModule):
                 rel = path[base_len:]
                 mocaps.append({
                     "dataset": rel.split(os.path.sep)[0],
-                    "id": rel.split(os.path.sep, 1)[-1].rstrip(".npz"),
+                    # NOT rstrip(".npz"): that strips any trailing n/p/z/.
+                    # characters and would collide e.g. run.npz with ru.npz
+                    "id": rel.split(os.path.sep, 1)[-1].removesuffix(".npz"),
                     "poses": np.asarray(mocap["poses"]),
                     "gender": str(mocap["gender"]) if "gender" in mocap
                     else "neutral",

@@ -78,9 +78,15 @@ def load_body_model_npz(path: str, num_joints: Optional[int] = None
 
 @lru_cache(maxsize=8)
 def get_body_model(gender: str = "neutral",
-                   body_model_dir: str = SMPL_BODY_MODEL_DIR) -> BodyModelData:
+                   body_model_dir: str = SMPL_BODY_MODEL_DIR,
+                   num_joints: Optional[int] = 22) -> BodyModelData:
+    """Cached body model, trimmed to ``num_joints`` (default 22 = pelvis +
+    21 body joints, the SMPL_SKELETON subset AMASS poses drive — full SMPL
+    has 24 joints and SMPL-X 55, so an untrimmed kintree would not match the
+    63-dim ``pose_body`` AMASS provides)."""
     return load_body_model_npz(
-        os.path.join(body_model_dir, SMPL_MODELS[gender]))
+        os.path.join(body_model_dir, SMPL_MODELS[gender]),
+        num_joints=num_joints)
 
 
 def joint_locations(model: BodyModelData,

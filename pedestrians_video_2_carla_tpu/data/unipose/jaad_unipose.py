@@ -8,7 +8,7 @@ from typing import List
 
 import numpy as np
 
-from ..base.video_mixin import read_clip_frames, square_crop, to_model_frames
+from ..base.video_mixin import crop_rect, read_clip_frames, to_model_frames
 from ..openpose.datamodules import JAADOpenPoseDataModule
 
 
@@ -51,11 +51,19 @@ class JAADUniPoseDataModule(JAADOpenPoseDataModule):
                 continue
             bbox = info.iloc[0][["x1", "y1", "x2", "y2"]].to_numpy() \
                 .astype(np.float32)
-            crop = square_crop(frames, bbox)
+            x1c, y1c, x2c, y2c = crop_rect(frames.shape[1:3], bbox)
+            crop = frames[:, y1c:y2c, x1c:x2c]
             model_in = to_model_frames(crop, self._video_size)[None]
             heatmaps = model.apply(self._unipose_params,
                                    jnp.asarray(model_in), training=False)
             kp = np.asarray(keypoints_from_heatmaps(heatmaps))[0]  # (L, J, 2)
+            # heatmap-canvas coords -> crop pixels -> FRAME pixels, so the
+            # stored keypoints share the bbox/clip_width coordinate space of
+            # the OpenPose pipeline that consumes them
+            hm_h, hm_w = np.asarray(heatmaps).shape[-2:]
+            kp = kp * np.asarray([(x2c - x1c) / hm_w,
+                                  (y2c - y1c) / hm_h], np.float32) \
+                + np.asarray([x1c, y1c], np.float32)
             for i in range(len(info)):
                 pts = np.concatenate(
                     [kp[i], np.ones((len(kp[i]), 1), np.float32)], axis=-1)

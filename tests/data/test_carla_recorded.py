@@ -161,17 +161,21 @@ def test_benchmark_variant_tte_window(carla_csv, tmp_path):
     assert found
 
 
-def _write_mp4s(vdir):
+def _write_mp4s(vdir, size=(800, 600)):
+    """Synthesized videos on the SAME 800x600 canvas the fixture's
+    projection_2d keypoints live on (decoded frame size is what the video
+    mixin scales keypoints by, reference ``video_mixin.py:205-215``)."""
     import cv2
 
+    w, h = size
     for vid in range(N_VIDEOS):
         path = os.path.join(vdir, f"video_{vid:02d}.mp4")
         if os.path.exists(path):
             continue
         writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
-                                 30, (64, 48))
+                                 30, (w, h))
         for f in range(N_FRAMES):
-            writer.write(np.full((48, 64, 3), (f * 5) % 255, np.uint8))
+            writer.write(np.full((h, w, 3), (f * 5) % 255, np.uint8))
         writer.release()
 
 
@@ -230,6 +234,43 @@ def test_video_datamodule_heatmap_targets(carla_csv, tmp_path):
     assert hm.max() <= 1.0 + 1e-5 and hm.max() > 0.1
     # no string meta leaks to the device path
     assert all(np.asarray(v).dtype.kind in "biuf" for v in meta.values())
+
+
+def test_video_datamodule_heatmap_crop_alignment(carla_csv, tmp_path):
+    """crop_to_bbox=True: heatmap peaks must land where the keypoints land in
+    the CROPPED frame — the same (kp - crop_offset) * scale transform the
+    reference applies (``video_mixin.py:205-215``), not full-frame scaling."""
+    from pedestrians_video_2_carla_tpu.data.base.video_mixin import crop_rect
+    from pedestrians_video_2_carla_tpu.data.carla.carla_recorded import \
+        CarlaRecordedVideoDataModule
+
+    _write_mp4s(os.path.join(carla_csv, "default"))
+    hm_size = 32  # finer canvas so peak localization is meaningful
+    dm = _make_dm(carla_csv, tmp_path / "ca",
+                  cls=CarlaRecordedVideoDataModule,
+                  video_size=(256, 256), crop_to_bbox=True,
+                  needs_heatmaps=True, heatmaps_stride=256 // hm_size)
+    dm.prepare_data()
+    dm.setup("train")
+    inputs, targets, meta = next(iter(dm.train_batches(0)))
+    hm = np.asarray(targets["heatmaps"])
+    kp = np.asarray(targets["projection_2d"])
+    bboxes = np.asarray(targets["bboxes"])
+    checked = 0
+    for i in range(min(2, len(kp))):
+        x1c, y1c, x2c, y2c = crop_rect((600, 800), bboxes[i])
+        sc = np.asarray([hm_size / (x2c - x1c), hm_size / (y2c - y1c)])
+        for j in range(kp.shape[2]):
+            exp = (kp[i, 0, j] - np.asarray([x1c, y1c])) * sc
+            if not (0.5 <= exp[0] < hm_size - 1 and
+                    0.5 <= exp[1] < hm_size - 1):
+                continue  # joint outside the crop or on the border
+            chan = hm[i, 0, j]  # background is the LAST channel
+            py, px = np.unravel_index(np.argmax(chan), chan.shape)
+            assert abs(px - exp[0]) <= 1 and abs(py - exp[1]) <= 1, \
+                (i, j, (px, py), exp)
+            checked += 1
+    assert checked > 10  # the alignment was actually exercised
 
 
 def test_video_datamodule_predict_batches_strip_string_meta(carla_csv,
