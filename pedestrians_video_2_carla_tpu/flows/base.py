@@ -49,6 +49,7 @@ class BaseFlow:
                  precision: str = "32",
                  gradient_clip_val: float = 0.0,
                  projection_kernel: str = "xla",
+                 steps_per_epoch: int = 1,
                  **kwargs):
         self.movements_model = movements_model \
             if movements_model is not None else ZeroMovements()
@@ -66,6 +67,12 @@ class BaseFlow:
 
         self.movements_optimizer = movements_optimizer or OptimizerSettings()
         self.trajectory_optimizer = trajectory_optimizer or OptimizerSettings()
+        #: optimizer steps per epoch — the reference steps its LR schedulers
+        #: once per EPOCH (Lightning interval='epoch'); optax schedules count
+        #: optimizer steps, so epoch-granularity schedulers are scaled by
+        #: this. The Trainer fills it in from the datamodule before
+        #: init_state builds the optimizer; 1 = step-granularity fallback.
+        self.steps_per_epoch = max(1, int(steps_per_epoch))
         self.transform = transform
         # AMP-style mixed precision (the Lightning ``--precision`` equivalent,
         # reference passes it through ``pl.Trainer.from_argparse_args``,
@@ -215,9 +222,11 @@ class BaseFlow:
                         lr *= scale
                 elif settings.scheduler_type == "StepLR":
                     lr *= settings.scheduler_gamma ** (
-                        step // max(1, settings.scheduler_step_size))
+                        step // max(1, settings.scheduler_step_size
+                                    * self.steps_per_epoch))
                 elif settings.scheduler_type == "CosineAnnealingWarmRestarts":
-                    period = max(1, settings.scheduler_step_size)
+                    period = max(1, settings.scheduler_step_size) \
+                        * self.steps_per_epoch
                     t = (step % period) / period
                     import math
                     lr = settings.scheduler_min_lr + 0.5 * (
@@ -242,8 +251,8 @@ class BaseFlow:
         # one optimizer over the joint param tree with per-model hyperparams
         # (the reference keeps two torch optimizers; a partitioned optax
         # transform is the idiomatic equivalent)
-        tx_m = self.movements_optimizer.make()
-        tx_t = self.trajectory_optimizer.make()
+        tx_m = self.movements_optimizer.make(self.steps_per_epoch)
+        tx_t = self.trajectory_optimizer.make(self.steps_per_epoch)
 
         def label(params):
             return {"movements": "movements", "trajectory": "trajectory"}

@@ -27,8 +27,11 @@ class ClassificationFlow:
                  transform: str = "hips_neck",
                  gradient_clip_val: float = 0.0,
                  precision: str = "32",
+                 steps_per_epoch: int = 1,
                  **kwargs) -> None:
         self.gradient_clip_val = float(gradient_clip_val or 0.0)
+        #: see flows/base.py — epoch-granularity LR schedulers scale by this
+        self.steps_per_epoch = max(1, int(steps_per_epoch))
         #: AMP-style mixed precision — see flows/base.py (same contract)
         self.precision = "bf16" if str(precision) in ("16", "bf16") else "32"
         if classification_model is None:
@@ -82,19 +85,27 @@ class ClassificationFlow:
                   num_classes=self.num_classes, binary=self.binary)
         hist_kw = dict(preds_key=self.outputs_key,
                        targets_key=self.targets_key, binary=self.binary)
-        return {
+        metrics = {
             "Accuracy": Accuracy(average=self.average["Accuracy"], **kw),
             "Precision": Precision(average=self.average["Precision"], **kw),
             "Recall": Recall(average=self.average["Recall"], **kw),
             "F1Score": F1Score(average=self.average["F1Score"], **kw),
             "ConfusionMatrix": ConfusionMatrixMetric(**kw),
-            "AUROC": AUROC(**hist_kw),
-            # curve metrics (reference logs these as W&B plots,
-            # ``classification.py:336-436``; here they land in the JSONL/TB
-            # summaries as binned arrays)
-            "ROC": ROCCurve(**hist_kw),
-            "PRCurve": PRCurve(**hist_kw),
         }
+        if self.num_classes <= 2:
+            # score-histogram metrics are BINARY curves (positive-class
+            # probability); for num_classes > 2 they would silently degrade
+            # to a class-1-vs-rest curve, so they are omitted instead (the
+            # reference's crossing task — the only consumer — is binary)
+            metrics.update({
+                "AUROC": AUROC(**hist_kw),
+                # curve metrics (reference logs these as W&B plots,
+                # ``classification.py:336-436``; here they land in the
+                # JSONL/TB summaries as binned arrays)
+                "ROC": ROCCurve(**hist_kw),
+                "PRCurve": PRCurve(**hist_kw),
+            })
+        return metrics
 
     def initial_preds(self, inputs, targets):
         """Prevalent-class predictor baseline (reference
@@ -136,7 +147,7 @@ class ClassificationFlow:
         params = {"classification": variables.get("params", {})}
         mutables = {"classification": {k: v for k, v in variables.items()
                                        if k != "params"}}
-        tx = self.classification_optimizer.make()
+        tx = self.classification_optimizer.make(self.steps_per_epoch)
         if self.gradient_clip_val > 0:
             tx = optax.chain(
                 optax.clip_by_global_norm(self.gradient_clip_val), tx)

@@ -2,8 +2,10 @@
 model predicts 2D keypoints (directly or via heatmaps -> argmax); metrics are
 the autoencoder-flow 2D set."""
 
+import jax.numpy as jnp
 
 from ..models.pose_estimation import POSE_ESTIMATION_MODELS
+from ..ops import normalization as N
 from ..ops.heatmaps import keypoints_from_heatmaps
 from .autoencoder import AutoencoderFlow
 from .output_types import PoseEstimationModelOutputType
@@ -32,7 +34,24 @@ class PoseEstimationFlow(AutoencoderFlow):
         if self.movements_model.output_type \
                 == PoseEstimationModelOutputType.heatmaps:
             sliced["heatmaps"] = out[es]
-            sliced[self.outputs_key] = keypoints_from_heatmaps(out)[es]
+            # argmax coords live in the heatmap canvas; scale them back to
+            # the model-INPUT pixel space (reference ``pose_estimation.py:
+            # 113-134`` multiplies by bbox_size/heatmap_size), then apply the
+            # flow's normalizer so projection_2d_transformed is in the same
+            # space as the normalized targets (reference applies
+            # ``dm.transform_callable``). Hips-neck extraction is computed
+            # from the keypoints themselves, so it is invariant to the crop's
+            # residual offset/scale vs original frame pixels.
+            kp = keypoints_from_heatmaps(out)
+            H, W = inputs.shape[2:4]
+            hm_h, hm_w = out.shape[-2:]
+            kp_px = kp * jnp.asarray([W / hm_w, H / hm_h], kp.dtype)
+            sliced["projection_2d"] = kp_px[es]
+            if self.transform not in (None, "none"):
+                kp_t, _ = N.normalize_with(
+                    kp_px, self.movements_model.output_nodes,
+                    extractor=self.transform)
+                sliced["projection_2d_transformed"] = kp_t[es]
         else:
             sliced[self.outputs_key] = out[es]
         return sliced, {"movements": mov_mutables,

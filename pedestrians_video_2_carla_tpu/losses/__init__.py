@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..ops.rotations import mm
 from ..ops.tensors import get_missing_joints_mask
-from ..skeletons.base import Skeleton, get_common_indices
+from ..skeletons.base import (Skeleton, common_hips_index,
+                              get_common_indices)
 
 
 @dataclass
@@ -55,16 +56,6 @@ def _masked_mse(pred: jnp.ndarray, gt: jnp.ndarray,
     return total / jnp.maximum(count, 1.0)
 
 
-def _common_hips_index(input_nodes: Type[Skeleton], input_indices) -> Optional[int]:
-    """Position of the hips joint within the common-joint axis (reference
-    ``utils/tensors.py:33-39``); None when hips is a multi-joint point."""
-    hips = input_nodes.get_hips_point()
-    if isinstance(hips, (list, tuple)):
-        return None
-    if isinstance(input_indices, slice):
-        return int(hips)
-    idx = list(input_indices)
-    return idx.index(int(hips)) if int(hips) in idx else None
 
 
 def loss_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
@@ -85,7 +76,7 @@ def loss_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
     mask = None
     if ctx.mask_missing_joints:
         mask = get_missing_joints_mask(
-            gt, _common_hips_index(ctx.input_nodes, in_idx))
+            gt, common_hips_index(ctx.input_nodes, in_idx))
     return _masked_mse(pred, gt, mask)
 
 
@@ -115,18 +106,26 @@ def loss_rot_3d(ctx: LossContext) -> Optional[jnp.ndarray]:
 def loss_cum_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
     """MSE on rotation-change matrices *accumulated over frames* (reference
     ``loss/cum_pose_changes.py:9-56``; right-multiplied running product —
-    here a single associative scan)."""
+    here a single associative scan). Runs on the 9 component planes: this is
+    a training hot path, and batched (..., 3, 3) matmuls pad to (8, 128) TPU
+    tiles (CLAUDE.md; ops/kinematics.py plane helpers)."""
     import jax
+
+    from ..ops.kinematics import _compose9, _unpack9
 
     pose_inputs = ctx.sliced.get("pose_inputs")
     if pose_inputs is None or isinstance(pose_inputs, tuple) \
             or ctx.targets.get("pose_changes") is None:
         return None
-    cum_pred = jax.lax.associative_scan(lambda a, b: mm(a, b),
-                                        pose_inputs, axis=1)
-    cum_gt = jax.lax.associative_scan(lambda a, b: mm(a, b),
-                                      ctx.targets["pose_changes"], axis=1)
-    return jnp.mean((cum_pred - cum_gt) ** 2)
+    # _compose9(a, b) = b @ a, so swap to keep the earlier-frame @ later-frame
+    # (right-multiplied) order of the reference
+    compose = lambda a, b: _compose9(b, a)  # noqa: E731
+    cum_pred = jax.lax.associative_scan(compose, _unpack9(pose_inputs),
+                                        axis=1)
+    cum_gt = jax.lax.associative_scan(
+        compose, _unpack9(ctx.targets["pose_changes"]), axis=1)
+    return sum(jnp.mean((p - g) ** 2)
+               for p, g in zip(cum_pred, cum_gt)) / 9.0
 
 
 def loss_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
@@ -157,12 +156,31 @@ def loss_per_joint_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
     mask = None
     if ctx.mask_missing_joints:
         mask = get_missing_joints_mask(
-            gt, _common_hips_index(ctx.input_nodes, in_idx))
+            gt, common_hips_index(ctx.input_nodes, in_idx))
 
     num_joints = pred.shape[-2]
     if ctx.loss_params is not None:
-        weights = jnp.asarray(list(ctx.loss_params)[:num_joints],
-                              dtype=pred.dtype)
+        # reference ``per_joint_loc_2d.py``: weights are per-INPUT-skeleton
+        # node and gathered at the common input indices (which need not be
+        # contiguous when skeletons differ) — NOT the first num_joints
+        import numpy as _np
+        w_full = _np.asarray(list(ctx.loss_params), dtype=float)
+        if isinstance(in_idx, slice):
+            w_sel = w_full[in_idx]
+        else:
+            idx = _np.asarray(list(in_idx))
+            if len(w_full) <= idx.max():
+                raise ValueError(
+                    f"--loss_params supplies {len(w_full)} per-joint weights "
+                    f"but the input skeleton's common joints reach index "
+                    f"{int(idx.max())} — provide one weight per "
+                    f"input-skeleton node")
+            w_sel = w_full[idx]
+        if len(w_sel) != num_joints:
+            raise ValueError(
+                f"--loss_params resolves to {len(w_sel)} weights for "
+                f"{num_joints} common joints")
+        weights = jnp.asarray(w_sel, dtype=pred.dtype)
     else:
         weights = jnp.ones((num_joints,), dtype=pred.dtype)
 
@@ -181,13 +199,24 @@ def loss_per_joint_loc_2d(ctx: LossContext) -> Optional[jnp.ndarray]:
 
 def loss_heatmaps(ctx: LossContext) -> Optional[jnp.ndarray]:
     """Sum-per-frame MSE on flattened heatmaps incl. background channel
-    (reference ``loss/heatmaps_loss.py:9-47``)."""
+    (reference ``loss/heatmaps_loss.py:9-47``). Missing joints — all-zero GT
+    heatmap channels — are masked out like every BasePoseLoss subclass
+    (the reference's ``get_missing_joints_mask`` on the flattened maps);
+    without the mask, occluded joints actively train toward zero maps."""
     pred = ctx.sliced.get("heatmaps")
     gt = ctx.targets.get("heatmaps")
     if pred is None or gt is None:
         return None
-    per_frame = jnp.mean(
-        (pred - gt) ** 2, axis=tuple(range(2, pred.ndim)))
+    sq = (pred - gt) ** 2  # (B, L, C, h, w)
+    if ctx.mask_missing_joints:
+        present = jnp.any(gt != 0, axis=(-2, -1))  # (B, L, C)
+        m = present[..., None, None].astype(sq.dtype)
+        hw = sq.shape[-2] * sq.shape[-1]
+        counts = jnp.sum(present, axis=-1) * hw  # (B, L) valid elements
+        per_frame = jnp.sum(sq * m, axis=tuple(range(2, sq.ndim))) \
+            / jnp.maximum(counts, 1.0)
+    else:
+        per_frame = jnp.mean(sq, axis=tuple(range(2, sq.ndim)))
     return jnp.sum(jnp.mean(per_frame, axis=0))
 
 

@@ -68,4 +68,7 @@ class MetricCollection:
 
 
 def safe_div(num, den):
-    return jnp.where(den > 0, num / jnp.maximum(den, 1), 0.0)
+    """num/den with 0 where den <= 0. The guard denominator must only kick
+    in where den <= 0 — clamping every den below 1 up to 1 would return the
+    numerator for fractional denominators (F1's precision+recall < 1)."""
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)

@@ -8,19 +8,12 @@ import jax.numpy as jnp
 from ..ops.kinematics import world_from_changes
 from ..ops.normalization import hips_neck_shift_scale
 from ..ops.tensors import get_bboxes, get_missing_joints_mask
-from ..skeletons.base import Skeleton, get_common_indices
+from ..skeletons.base import (Skeleton, common_hips_index,
+                              get_common_indices)
 from ..skeletons.carla import CARLA_SKELETON
 from .base import Metric, safe_div
 
 
-def _common_hips_index(input_nodes, input_indices) -> Optional[int]:
-    hips = input_nodes.get_hips_point()
-    if isinstance(hips, (list, tuple)):
-        return None
-    if isinstance(input_indices, slice):
-        return int(hips)
-    idx = list(input_indices)
-    return idx.index(int(hips)) if int(hips) in idx else None
 
 
 class MPJPE(Metric):
@@ -112,7 +105,7 @@ class PCK(Metric):
         self.normalization = normalization
         self.mask_missing_joints = mask_missing_joints
         self.near_zero = near_zero
-        self._hips = _common_hips_index(input_nodes, self.input_indices)
+        self._hips = common_hips_index(input_nodes, self.input_indices)
 
     def _norm_dist(self, sample):
         if self.normalization == "hn":
@@ -199,7 +192,7 @@ class MultiinputMSE(Metric):
         self.output_indices, self.input_indices = get_common_indices(
             input_nodes, output_nodes)
         self.mask_missing_joints = mask_missing_joints
-        self._hips = _common_hips_index(input_nodes, self.input_indices)
+        self._hips = common_hips_index(input_nodes, self.input_indices)
 
     def init_state(self):
         return {"sq": jnp.zeros(()), "n": jnp.zeros((), jnp.int32)}

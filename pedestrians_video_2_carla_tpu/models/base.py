@@ -58,9 +58,16 @@ class OptimizerSettings:
         )
 
     def make(self, steps_per_epoch: int = 1) -> optax.GradientTransformationExtraArgs:
-        """Build the optax chain. Epoch-granularity schedulers are stepped per
-        optimizer step scaled by ``steps_per_epoch`` (the reference steps them
-        per epoch)."""
+        """Build the optax chain. The reference steps its schedulers once per
+        EPOCH (Lightning ``interval='epoch'``); optax schedules count
+        optimizer steps, so every epoch-granularity quantity here is scaled
+        by ``steps_per_epoch`` (the Trainer fills it in from the datamodule).
+        ReduceLROnPlateau accumulates one epoch of train losses per plateau
+        evaluation, so ``patience``/``cooldown`` count epochs as upstream —
+        the one divergence is the monitored series (epoch-MEAN TRAIN loss
+        in-jit, vs Lightning's epoch val loss, which lives outside the
+        compiled step)."""
+        steps_per_epoch = max(1, int(steps_per_epoch))
         base = optax.adamw(self.learning_rate, weight_decay=self.weight_decay)
         if not self.enable_lr_scheduler:
             return optax.with_extra_args_support(base)
@@ -70,7 +77,7 @@ class OptimizerSettings:
                 factor=self.scheduler_gamma,
                 patience=self.scheduler_patience,
                 cooldown=self.scheduler_cooldown,
-                accumulation_size=1,
+                accumulation_size=steps_per_epoch,
                 min_scale=self.scheduler_min_lr / self.learning_rate,
             )
             return optax.chain(optax.with_extra_args_support(base), plateau)

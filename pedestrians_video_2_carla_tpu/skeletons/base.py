@@ -156,3 +156,16 @@ def map_pose(pose: np.ndarray, data_nodes: Type[Skeleton],
     out = np.zeros(pose.shape[:-2] + (n_out, pose.shape[-1]), dtype=pose.dtype)
     out[..., out_idx, :] = pose[..., in_idx, :]
     return out
+
+def common_hips_index(input_nodes: Optional[Type[Skeleton]],
+                      input_indices) -> Optional[int]:
+    """Position of the hips joint within the common-joint axis produced by
+    :func:`get_common_indices` (reference ``utils/tensors.py:33-39``);
+    ``None`` when hips is a multi-joint point."""
+    hips = input_nodes.get_hips_point()
+    if isinstance(hips, (list, tuple)):
+        return None
+    if isinstance(input_indices, slice):
+        return int(hips)
+    idx = list(input_indices)
+    return idx.index(int(hips)) if int(hips) in idx else None

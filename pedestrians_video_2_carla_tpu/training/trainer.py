@@ -113,6 +113,19 @@ class Trainer:
         if first is None:
             first = next(iter(self.dm.train_batches(self.config.seed)))
         if self.state is None:  # keep a state restored via --ckpt_path
+            # epoch-granularity LR schedulers (the reference's Lightning
+            # interval='epoch') need the epoch length BEFORE the optimizer
+            # is built; fill it in from the datamodule unless the flow was
+            # constructed with an explicit value
+            if getattr(self.flow, "steps_per_epoch", 1) == 1:
+                spe = self._resolve_train_batches()
+                if spe is None:
+                    n = self.dm.train_set_size
+                    bs = getattr(self.dm, "batch_size", None)
+                    if n and bs:
+                        spe = max(1, n // bs)
+                if spe:
+                    self.flow.steps_per_epoch = max(1, int(spe))
             key = jax.random.PRNGKey(self.config.seed)
             state = self.flow.init_state(key, first)
             self.state = shard_state(self.mesh, state)
@@ -322,7 +335,7 @@ class Trainer:
                             if f"{stage}_loss/{m.name}" in results), None)
             if primary:
                 results[f"{stage}_loss/primary"] = results[primary]
-            computed = self.flow.metrics.compute(mstate)
+            computed = _compute_moved_metrics(self.flow.metrics, mstate)
             results.update(_flatten_metrics(computed, stage))
             if self.is_main_process:
                 # classification plot artifacts (confusion/ROC/PR PNGs) —
@@ -419,20 +432,27 @@ class Trainer:
             any_batches = True
         if not any_batches:
             return {}
-        # drop metrics whose accumulator never moved off its init state (the
-        # input-as-prediction baseline can't feed them, e.g. 3D MPJPE from 2D
-        # preds) — the reference skips those on KeyError instead of logging 0
-        init = collection.init_state()
-        computed = collection.compute(mstate)
-        for name in list(computed):
-            if name in init and name in mstate:
-                unchanged = all(
-                    np.array_equal(np.asarray(a), np.asarray(b))
-                    for a, b in zip(jax.tree_util.tree_leaves(init[name]),
-                                    jax.tree_util.tree_leaves(mstate[name])))
-                if unchanged:
-                    del computed[name]
+        computed = _compute_moved_metrics(collection, mstate)
         return _flatten_metrics(computed, "initial")
+
+
+def _compute_moved_metrics(collection, mstate) -> Dict[str, Any]:
+    """Compute the collection, dropping metrics whose accumulator never
+    moved off its init state — a metric whose ``update`` skipped every batch
+    (3D MPJPE fed 2D preds, FB metrics under mismatched skeletons) must be
+    ABSENT from the logs, not reported as a fake-perfect 0.0. The reference
+    skips those on KeyError instead of logging 0."""
+    init = collection.init_state()
+    computed = collection.compute(mstate)
+    for name in list(computed):
+        if name in init and name in mstate:
+            unchanged = all(
+                np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(init[name]),
+                                jax.tree_util.tree_leaves(mstate[name])))
+            if unchanged:
+                del computed[name]
+    return computed
 
 
 def _flatten_metrics(computed: Dict[str, Any], stage: str) -> Dict[str, Any]:

@@ -104,6 +104,77 @@ def test_pose_changes_and_cum_pose_changes(rng):
     assert float(losses["cum_pose_changes"]) < 1e-8
 
 
+def test_cum_pose_changes_matches_matmul_reference(rng):
+    """The component-plane rewrite must equal the direct matrix-product
+    formulation (earlier-frame @ later-frame running product)."""
+    from pedestrians_video_2_carla_tpu.losses import loss_cum_pose_changes
+    from tests.ops.np_reference import random_rotation_matrices
+
+    pred = jnp.asarray(random_rotation_matrices(rng, (2, 5, 6))
+                       .astype(np.float32))
+    gt = jnp.asarray(random_rotation_matrices(rng, (2, 5, 6))
+                     .astype(np.float32))
+    got = float(loss_cum_pose_changes(
+        _ctx({"pose_inputs": pred}, {"pose_changes": gt})))
+
+    def cum(m):
+        out = [np.asarray(m[:, 0])]
+        for t in range(1, m.shape[1]):
+            out.append(out[-1] @ np.asarray(m[:, t]))
+        return np.stack(out, axis=1)
+
+    want = float(np.mean((cum(pred) - cum(gt)) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_per_joint_weights_gathered_at_input_indices(rng):
+    """Per-joint weights are per-INPUT-skeleton node and gathered at the
+    (non-contiguous) common input indices, like the reference's
+    self._weights[..., self._input_indices]."""
+    from pedestrians_video_2_carla_tpu.losses import loss_per_joint_loc_2d
+    from pedestrians_video_2_carla_tpu.skeletons.base import \
+        get_common_indices
+
+    pred = jnp.asarray(rng.normal(size=(1, 2, 26, 2)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(1, 2, 25, 2)).astype(np.float32))
+    out_idx, in_idx = get_common_indices(BODY_25_SKELETON, CARLA_SKELETON)
+    # weight vector over ALL 25 BODY_25 nodes: zero everywhere except one
+    # common joint -> the loss must reduce to that single joint's MSE
+    j_common = 3  # position within the common-joint axis
+    w = [0.0] * 25
+    w[list(in_idx)[j_common]] = 1.0
+    ctx = LossContext(input_nodes=BODY_25_SKELETON,
+                      output_nodes=CARLA_SKELETON,
+                      sliced={"projection_2d": pred},
+                      targets={"projection_2d": gt},
+                      loss_params=w, mask_missing_joints=False)
+    got = float(loss_per_joint_loc_2d(ctx))
+    want = float(np.mean((np.asarray(pred)[..., out_idx, :][..., j_common, :]
+                          - np.asarray(gt)[..., in_idx, :][..., j_common, :])
+                         ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_heatmaps_loss_masks_missing_joint_channels(rng):
+    """All-zero GT heatmap channels (missing joints) are excluded from the
+    loss, like every BasePoseLoss subclass in the reference."""
+    from pedestrians_video_2_carla_tpu.losses import loss_heatmaps
+
+    pred = jnp.asarray(rng.normal(size=(1, 2, 4, 8, 8)).astype(np.float32))
+    gt = np.abs(rng.normal(size=(1, 2, 4, 8, 8))).astype(np.float32)
+    gt[:, :, 1] = 0.0  # channel 1 = missing joint
+    ctx = _ctx({"heatmaps": pred}, {"heatmaps": jnp.asarray(gt)})
+    got = float(loss_heatmaps(ctx))
+    sq = (np.asarray(pred) - gt) ** 2
+    keep = sq[:, :, [0, 2, 3]]  # masked channel excluded
+    want = float(np.sum(np.mean(np.mean(keep, axis=(2, 3, 4)), axis=0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # and the masked loss differs from the unmasked one
+    ctx_unmasked = _ctx({"heatmaps": pred}, {"heatmaps": jnp.asarray(gt)})
+    ctx_unmasked.mask_missing_joints = False
+    assert abs(float(loss_heatmaps(ctx_unmasked)) - got) > 1e-6
+
+
 def test_cross_skeleton_loss_uses_common_joints(rng):
     # predictions on CARLA (26), GT on BODY_25 (25) -> 21 common joints
     pred = jnp.asarray(rng.normal(size=(1, 2, 26, 2)).astype(np.float32))

@@ -97,6 +97,20 @@ def test_classification_metrics_hand_computed():
     np.testing.assert_allclose(float(per_class["0"]), 2 / 3, rtol=1e-5)
 
 
+def test_f1_with_fractional_denominator():
+    """precision+recall < 1 per class: the safe-division guard must not
+    clamp the fractional denominator (regression: a jnp.maximum(den, 1)
+    guard silently returned the numerator, halving this F1)."""
+    # confusion [[1,3],[3,1]]: precision = recall = 0.25 per class -> F1 0.25
+    big = 5.0
+    logits = jnp.asarray([[big, -big]] * 1 + [[-big, big]] * 3
+                         + [[-big, big]] * 1 + [[big, -big]] * 3)
+    gt = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    f1 = _update_compute(F1Score(average="macro"),
+                         {"crossing_logits": logits}, {"crossing": gt})
+    np.testing.assert_allclose(float(f1), 0.25, rtol=1e-5)
+
+
 def test_auroc_perfect_and_random():
     n = 64
     gt = jnp.asarray([0, 1] * (n // 2))

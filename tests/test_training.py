@@ -112,6 +112,49 @@ def test_checkpoint_async_write_errors_surface(tmp_path, monkeypatch):
     assert meta["path"] == good_best
 
 
+def test_lr_schedulers_are_epoch_granular():
+    """The reference steps LR schedulers once per EPOCH (Lightning
+    interval='epoch'); with steps_per_epoch=S, StepLR(step_size=1) must decay
+    after S optimizer steps, not after 1 (regression: per-step decay shrank
+    lr by gamma^steps_per_epoch per epoch)."""
+    import jax
+    import optax
+
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+
+    s = OptimizerSettings(lr=1.0, enable_lr_scheduler=True,
+                          scheduler_type="StepLR", scheduler_gamma=0.5,
+                          scheduler_step_size=1)
+    S = 10
+    tx = s.make(steps_per_epoch=S)
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.ones(3)}
+    opt_state = tx.init(params)
+    deltas = []
+    for _ in range(S + 1):
+        updates, opt_state = tx.update(grads, opt_state, params, value=1.0)
+        deltas.append(float(np.abs(np.asarray(updates["w"])).mean()))
+    # ~constant within the first epoch (tiny Adam moment drift), halved on
+    # crossing the epoch boundary
+    np.testing.assert_allclose(deltas[:S], deltas[0], rtol=1e-4)
+    np.testing.assert_allclose(deltas[S], deltas[0] * 0.5, rtol=1e-3)
+
+    # the flow's logged lr matches the same epoch granularity
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+
+    flow = PoseLiftingFlow(loss_modes=[LossModes.loc_2d],
+                           movements_optimizer=s, steps_per_epoch=S)
+
+    class FakeState:
+        step = jnp.asarray(S - 1)
+        opt_state = ()
+    assert flow.current_lrs(FakeState())["lr-movements"] == 1.0
+    FakeState.step = jnp.asarray(S)
+    assert flow.current_lrs(FakeState())["lr-movements"] == 0.5
+
+
 def test_resolve_ckpt_path_schemes(tmp_path):
     run_dir = tmp_path / "logs" / "flow" / "shiny-run" / "checkpoints"
     run_dir.mkdir(parents=True)
