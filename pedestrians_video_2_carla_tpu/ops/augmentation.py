@@ -47,7 +47,13 @@ def flip_pose(pose: jnp.ndarray, is_flipped: jnp.ndarray,
     flip_mask = jnp.asarray(skeleton.get_flip_mask())
     permuted = pose[..., flip_mask, :]
 
+    # Mirror relative to the *original* bbox center, then translate to the
+    # center the bbox would have if the whole image had been flipped —
+    # reference ``random_flip.py``: sub_(centers) happens before bboxes/centers
+    # are updated, add_(centers) after, so x' = W - x when the clip size is
+    # known (not 2*c_new - x).
     centers = _centers(pose, bboxes)
+    add_centers = centers
     new_bboxes = bboxes
     if bboxes is not None and clip_size is not None:
         # where the bbox would sit if the *image* had been flipped
@@ -58,10 +64,11 @@ def flip_pose(pose: jnp.ndarray, is_flipped: jnp.ndarray,
         cand = jnp.stack([flipped_x, bboxes[..., 1]], axis=-1)
         new_bboxes = jnp.where(valid & is_flipped[:, None, None, None],
                                cand, bboxes)
-        centers = jnp.where(is_flipped[:, None, None, None],
-                            new_bboxes.mean(axis=-2, keepdims=True), centers)
+        add_centers = jnp.where(is_flipped[:, None, None, None],
+                                new_bboxes.mean(axis=-2, keepdims=True),
+                                centers)
 
-    flipped_x = -(permuted[..., 0] - centers[..., 0]) + centers[..., 0]
+    flipped_x = -(permuted[..., 0] - centers[..., 0]) + add_centers[..., 0]
     flipped = jnp.concatenate(
         [flipped_x[..., None], permuted[..., 1:]], axis=-1)
     out = jnp.where(is_flipped[:, None, None, None], flipped, pose)

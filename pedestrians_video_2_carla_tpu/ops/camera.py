@@ -56,7 +56,10 @@ def look_at_view_transform(eye, at, up) -> Tuple[jnp.ndarray, jnp.ndarray]:
     up = jnp.asarray(up, dtype=jnp.float32)
 
     def _norm(v):
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-5)
+        # clamp the summed squares *before* the sqrt so the VJP stays finite
+        # at exactly-zero vectors (ops/normalization.py::_safe_norm pattern)
+        sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v / jnp.sqrt(jnp.maximum(sq, 1e-10))
 
     z_axis = _norm(at - eye)
     x_axis = _norm(jnp.cross(up, z_axis))

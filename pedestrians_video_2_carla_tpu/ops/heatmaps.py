@@ -24,6 +24,8 @@ def gaussian_heatmaps(keypoints: jnp.ndarray, image_size: Tuple[int, int],
     ky = keypoints[..., 1][..., None, None]
     d2 = (xs - kx) ** 2 + (ys - ky) ** 2
     maps = jnp.exp(-d2 / (2.0 * sigma ** 2))
+    # reference ``gaussian_kernel.py`` clips the tails: gmap[gmap < 0.0099] = 0
+    maps = jnp.where(maps < 0.0099, 0.0, maps)
     missing = jnp.all(keypoints == 0, axis=-1)[..., None, None]
     maps = jnp.where(missing, 0.0, maps)
     if add_background:

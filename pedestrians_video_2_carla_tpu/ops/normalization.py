@@ -139,9 +139,5 @@ def normalize_with(sample: jnp.ndarray, skeleton: Type[Skeleton],
                    ) -> Tuple[jnp.ndarray, ShiftScale]:
     """Convenience: extract shift/scale from the first ``dim`` channels and
     normalize; returns ``(normalized, shift_scale)`` so callers can invert."""
-    fn = EXTRACTORS[extractor]
-    if extractor == "bbox":
-        ss = fn(sample[..., 0:dim], skeleton)
-    else:
-        ss = fn(sample[..., 0:dim], skeleton)
+    ss = EXTRACTORS[extractor](sample[..., 0:dim], skeleton)
     return normalize(sample, ss, dim=dim, near_zero=near_zero), ss

@@ -60,26 +60,7 @@ def _kernel(changes_ref, rel_loc_ref, rel_rot_ref, out_ref, camera_consts):
         changes = [changes_ref[t, i] for i in range(9)]
         state = list(_compose9_slabs(state, changes))     # C_t @ R_{t-1}
 
-        # FK bone by bone in DFS order (parents always precede children), so
-        # absolute transforms live in per-bone Python lists of (1, B) rows —
-        # no tensor scatter, which Mosaic cannot lower.
-        abs_rot = [None] * num_bones
-        abs_loc = [None] * num_bones
-        abs_rot[0] = [state[i][0:1] for i in range(9)]
-        abs_loc[0] = [rel_loc[i][0:1] for i in range(3)]
-        for b_idx in range(1, num_bones):
-            p_idx = int(PARENTS[b_idx])
-            pr = abs_rot[p_idx]
-            pl = abs_loc[p_idx]
-            cr = [state[i][b_idx:b_idx + 1] for i in range(9)]
-            cl = [rel_loc[i][b_idx:b_idx + 1] for i in range(3)]
-            abs_rot[b_idx] = [
-                cr[i * 3 + 0] * pr[0 + j] + cr[i * 3 + 1] * pr[3 + j]
-                + cr[i * 3 + 2] * pr[6 + j]
-                for i in range(3) for j in range(3)]
-            abs_loc[b_idx] = [
-                cl[0] * pr[j] + cl[1] * pr[3 + j] + cl[2] * pr[6 + j]
-                + pl[j] for j in range(3)]
+        _, abs_loc = _fk_frame(state, rel_loc, num_bones)
 
         # reassemble (26, B) planes from the per-bone rows
         ax = jnp.concatenate([abs_loc[b][0] for b in range(num_bones)], 0)
@@ -340,33 +321,12 @@ def fused_projection_pallas(pose_changes: jnp.ndarray,
     # 128-lane block is required for full-width VPU lanes.
     block_b = BLOCK_B if jax.default_backend() == "tpu" \
         else max(8, int(np.ceil(B / 8)) * 8)
-    pad = (-B) % block_b
-    if pad:
-        pose_changes = jnp.concatenate(
-            [pose_changes, jnp.broadcast_to(
-                jnp.eye(3, dtype=pose_changes.dtype),
-                (pad, L, 26, 3, 3))], axis=0)
-        rel_loc = jnp.concatenate([rel_loc, rel_loc[:1].repeat(pad, 0)], 0)
-        rel_rot = jnp.concatenate([rel_rot, rel_rot[:1].repeat(pad, 0)], 0)
-    Bp = B + pad
-
-    changes_slabs = _to_slabs_rot(pose_changes)            # (L, 9, 26, Bp)
-    rot_slabs = jnp.transpose(
-        rel_rot.reshape(Bp, 26, 9), (2, 1, 0))             # (9, 26, Bp)
-    loc_slabs = jnp.transpose(rel_loc, (2, 1, 0))          # (3, 26, Bp)
-
-    R = np.asarray(camera.R)
-    T = np.asarray(camera.T)
-    consts = tuple(float(v) for v in (
-        R[0, 0], R[0, 1], R[0, 2], R[1, 0], R[1, 1], R[1, 2],
-        R[2, 0], R[2, 1], R[2, 2], T[0], T[1], T[2],
-        camera.focal[0], camera.focal[1],
-        camera.principal[0], camera.principal[1],
-        camera.image_size[0], camera.image_size[1]))
+    changes_slabs, loc_slabs, rot_slabs, Bp = _prep_slabs(
+        pose_changes, rel_loc, rel_rot, block_b)
 
     grid = (Bp // block_b,)
     out = pl.pallas_call(
-        functools.partial(_kernel, camera_consts=consts),
+        functools.partial(_kernel, camera_consts=_camera_consts(camera)),
         out_shape=jax.ShapeDtypeStruct((L, 3, 26, Bp), pose_changes.dtype),
         grid=grid,
         in_specs=[
@@ -447,10 +407,9 @@ def _train_block_b(B):
     return 256 if Bp % 256 == 0 else BLOCK_B
 
 
-def _prep_slabs(pose_changes, rel_loc, rel_rot):
+def _prep_slabs(pose_changes, rel_loc, rel_rot, block_b):
     """Pad the batch to the block size and build the slab layouts."""
     B, L = pose_changes.shape[:2]
-    block_b = _train_block_b(B)
     pad = (-B) % block_b
     if pad:
         pose_changes = jnp.concatenate(
@@ -464,7 +423,7 @@ def _prep_slabs(pose_changes, rel_loc, rel_rot):
     rot_slabs = jnp.transpose(
         rel_rot.reshape(Bp, 26, 9), (2, 1, 0))             # (9, 26, Bp)
     loc_slabs = jnp.transpose(rel_loc, (2, 1, 0))          # (3, 26, Bp)
-    return changes_slabs, loc_slabs, rot_slabs, block_b, Bp
+    return changes_slabs, loc_slabs, rot_slabs, Bp
 
 
 def _camera_consts(camera: C.PinholeCamera):
@@ -529,8 +488,9 @@ def fused_projection_train(pose_changes, rel_loc, rel_rot,
 
 def _train_fwd(pose_changes, rel_loc, rel_rot, camera):
     B = pose_changes.shape[0]
-    changes_slabs, loc_slabs, rot_slabs, block_b, _ = _prep_slabs(
-        pose_changes, rel_loc, rel_rot)
+    block_b = _train_block_b(B)
+    changes_slabs, loc_slabs, rot_slabs, _ = _prep_slabs(
+        pose_changes, rel_loc, rel_rot, block_b)
     proj, abs_loc, states = _train_fwd_slabs(
         changes_slabs, loc_slabs, rot_slabs, block_b, camera)
     out = (jnp.transpose(proj, (3, 0, 2, 1))[:B],

@@ -92,6 +92,10 @@ def process_batch(key: jax.Array,
     # reference; the saved shift/scale are the clean pose's,
     # ``projection_2d_mixin.py:215-229``)
     inputs = deformed
+    # Joint presence must be read off the *pre-normalization* coordinates:
+    # dropped joints are exact (0,0) only before the shift/scale moves them
+    # (reference ``confidence_mixin.py`` runs on raw detections).
+    present = jnp.any(deformed[..., :2] != 0, axis=-1, keepdims=True)
     if cfg.transform not in (None, "none"):
         inputs, _ = N.normalize_with(deformed, cfg.data_nodes,
                                      extractor=cfg.transform)
@@ -101,19 +105,20 @@ def process_batch(key: jax.Array,
         targets["projection_2d_shift"] = clean_ss.shift
         targets["projection_2d_scale"] = clean_ss.scale
 
-    # 4. skeleton remap
+    # 4. skeleton remap — only the per-joint targets; shape heuristics would
+    # misfire on (B, L, 2) shift/scale whenever clip_length == joint count
+    per_joint = ("projection_2d", "projection_2d_deformed",
+                 "projection_2d_transformed")
     inputs = remap_nodes(inputs, cfg)
+    present = remap_nodes(present.astype(inputs.dtype), cfg)
     remapped_targets = {
-        k: remap_nodes(v, cfg) if v.ndim >= 3
-        and v.shape[-2] == len(cfg.data_nodes) else v
+        k: remap_nodes(v, cfg) if k in per_joint else v
         for k, v in targets.items()
     }
 
     # 5. confidence channel
     if cfg.needs_confidence and inputs.shape[-1] == 2:
-        present = jnp.any(inputs[..., :2] != 0, axis=-1, keepdims=True)
-        inputs = jnp.concatenate([inputs, present.astype(inputs.dtype)],
-                                 axis=-1)
+        inputs = jnp.concatenate([inputs, present], axis=-1)
     elif not cfg.needs_confidence and inputs.shape[-1] > 2:
         inputs = inputs[..., :2]
 

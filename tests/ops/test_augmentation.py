@@ -90,3 +90,40 @@ def test_deform_noise_and_missing(rng):
     uniform = D.add_noise(key, pose, "uniform", 1.0)
     delta = np.asarray(uniform)[..., :2] - np.asarray(pose)[..., :2]
     assert np.abs(delta).max() <= 0.5 + 1e-6
+
+
+def test_flip_with_clip_size_is_image_flip(rng):
+    # reference ``random_flip.py``: when the clip size is known, a flipped
+    # pose must land where it would sit in the mirrored *image* (x' = W - x):
+    # mirror around the ORIGINAL bbox center, then translate to the
+    # flipped-image bbox center. Regression: using the updated center for
+    # both steps put joints at 2*c_new - x, outside the image.
+    pose = _pose(rng, B=2)
+    W = 800.0
+    flags = jnp.asarray([True, False])
+    bboxes = get_bboxes(pose)
+    clip_size = jnp.broadcast_to(jnp.asarray([W, 600.0]), (2, 2))
+    flipped, new_bb = A.flip_pose(pose, flags, BODY_25_SKELETON,
+                                  bboxes=bboxes, clip_size=clip_size)
+    mask = np.asarray(BODY_25_SKELETON.get_flip_mask())
+    np.testing.assert_allclose(np.asarray(flipped)[0][..., 0],
+                               W - np.asarray(pose)[0][..., mask, 0],
+                               atol=1e-3)
+    # bboxes mirrored into the flipped image (min/max swapped)
+    nb = np.asarray(new_bb)[0]
+    ob = np.asarray(bboxes)[0]
+    np.testing.assert_allclose(nb[..., 0], W - ob[..., ::-1, 0], atol=1e-3)
+    # non-flipped clip untouched
+    np.testing.assert_array_equal(np.asarray(flipped)[1], np.asarray(pose)[1])
+
+
+def test_augment_invert_roundtrip_with_clip_size(rng):
+    pose = _pose(rng)
+    aug = A.AugmentPose(BODY_25_SKELETON, flip=0.9, rotate=10.0)
+    clip_size = jnp.broadcast_to(jnp.asarray([800.0, 600.0]), (3, 2))
+    out, bboxes, params = aug(jax.random.PRNGKey(3), pose,
+                              clip_size=clip_size)
+    assert bool(np.asarray(params.is_flipped).any())
+    recovered = aug.invert(out, params, bboxes=bboxes, clip_size=clip_size)
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(pose),
+                               atol=5e-2)

@@ -133,3 +133,41 @@ def test_remap_nodes_same_skeleton_is_identity():
                               input_nodes=CARLA_SKELETON)
     raw = _raw()
     assert remap_nodes(raw, cfg) is raw
+
+
+def test_confidence_presence_survives_normalization():
+    # Joint presence must be read off the pre-normalization coordinates:
+    # dropped joints are exact (0,0) only before the shift/scale moves them.
+    # Regression: with a transform active, dropped joints were marked
+    # confident because the normalized coordinates are nonzero.
+    J = len(CARLA_SKELETON)
+    missing = [0.0] * J
+    missing[3] = 1.0
+    cfg = PreprocessingConfig(data_nodes=CARLA_SKELETON,
+                              input_nodes=CARLA_SKELETON,
+                              transform="hips_neck",
+                              missing_joint_probabilities=tuple(missing),
+                              needs_confidence=True)
+    inputs, _ = process_batch(KEY, _raw(), cfg)
+    conf = np.asarray(inputs[..., 2])
+    np.testing.assert_allclose(conf[:, :, 3], 0.0)   # dropped joint -> 0
+    assert (conf[:, :, 0] == 1.0).all()              # present joint -> 1
+
+
+def test_shift_scale_not_remapped_when_clip_length_matches_joint_count():
+    # (B, L, 2) shift/scale with L == len(data_nodes) must NOT be
+    # joint-remapped (regression: the old shape heuristic gathered frames
+    # as if they were joints).
+    from pedestrians_video_2_carla_tpu.ops import normalization as N
+    J = len(BODY_25_SKELETON)
+    raw = 100.0 + 50.0 * jax.random.normal(jax.random.PRNGKey(2),
+                                           (2, J, J, 2))  # clip_length == J
+    cfg = PreprocessingConfig(data_nodes=BODY_25_SKELETON,
+                              input_nodes=CARLA_SKELETON,
+                              transform="hips_neck")
+    _, targets = process_batch(KEY, raw, cfg)
+    _, ss = N.normalize_with(raw, BODY_25_SKELETON, extractor="hips_neck")
+    np.testing.assert_allclose(np.asarray(targets["projection_2d_shift"]),
+                               np.asarray(ss.shift), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(targets["projection_2d_scale"]),
+                               np.asarray(ss.scale), rtol=1e-6)
