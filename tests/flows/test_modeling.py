@@ -178,6 +178,18 @@ def test_pose_lifting_pallas_train_projection_kernel():
     assert vm["val_loss/primary"] > 0 and vm["val/MPJPE"] > 0
 
 
+def test_pose_former_pallas_spatial_kernel():
+    # --spatial_kernel pallas: the fused spatial-transformer kernel (fwd +
+    # hand-written bwd, interpret mode on CPU) must train end-to-end
+    results = _run("--flow=pose_lifting",
+                   "--movements_model_name=PoseFormer",
+                   "--clip_length", "9", "--receptive_frames", "9",
+                   "--depth", "1", "--loss_modes", "loc_2d",
+                   "--spatial_kernel", "pallas")
+    vm = results["val_metrics"]
+    assert vm["val_loss/primary"] > 0 and vm["val/MPJPE"] > 0
+
+
 def test_pose_lifting_lstm_and_weighted_loss():
     results = _run("--flow=pose_lifting", "--movements_model_name=LSTM",
                    "--loss_modes", "weighted_loc_2d_loc_rot_3d",
