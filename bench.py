@@ -23,28 +23,75 @@ CLIP = 16
 TRAIN_STEPS = 50
 
 
-def _timed_loop(step, steps, warmup, bursts=3):
-    """Shared timing methodology for EVERY benchmark in this file: ``warmup``
-    untimed iterations (remote-tunnel runtime needs several to reach steady
-    state), then the best (min wall-time) of ``bursts`` timed bursts of
-    ``steps`` calls — tunnel noise only ever *subtracts* throughput, so the
-    min is the least-noisy estimate. ``step()`` runs one iteration and
-    returns a value to block on at burst boundaries. Returns the best burst
-    duration in seconds."""
+def _sync(out):
+    """The only TRUE device sync through the axon tunnel is a host fetch —
+    ``jax.block_until_ready`` returns immediately there (docs/PERFORMANCE.md
+    "Timing methodology"). Costs ~33 ms of tunnel RTT, so it must be paid
+    once per timed run, never per step."""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))
 
+
+def _timed_loop(step, steps, warmup, bursts=3):
+    """Shared timing methodology for EVERY benchmark in this file: slope
+    timing. Each measurement runs ``steps//10`` calls and ``steps`` calls,
+    each run ending in ONE synchronous scalar fetch; the per-call time is
+    the slope between the two, which cancels both the ~33 ms tunnel sync
+    overhead and the in-flight dispatch tail (r1's burst timings ended in a
+    ``block_until_ready`` that does not actually wait through the tunnel —
+    fine for multi-ms chained train steps, badly wrong for sub-ms kernels).
+    Best (min) of ``bursts`` measurements; tunnel noise only ever adds
+    time. Returns the duration of ``steps`` calls in seconds."""
     out = None
     for _ in range(warmup):
         out = step()
-    jax.block_until_ready(out)
-    dt = float("inf")
-    for _ in range(bursts):
+    _sync(out)
+    n_small = max(1, steps // 10)
+
+    def run(n):
         t0 = time.perf_counter()
-        for _ in range(steps):
+        out = None
+        for _ in range(n):
             out = step()
-        jax.block_until_ready(out)
-        dt = min(dt, time.perf_counter() - t0)
-    return dt
+        _sync(out)
+        return time.perf_counter() - t0
+
+    slope = float("inf")
+    for _ in range(bursts):
+        t1 = run(n_small)
+        t2 = run(steps)
+        slope = min(slope, (t2 - t1) / (steps - n_small))
+    return max(slope, 1e-9) * steps
+
+
+def _slope_loop(step, n_small=2, n_large=34):
+    """Slope timing for MICRO benchmarks (sub-ms kernels): N dispatches
+    ending in ONE synchronous scalar fetch, at two values of N — the true
+    per-call time is the slope, which cancels the ~33 ms tunnel sync
+    overhead that would otherwise swamp a sub-ms kernel. (Round-1's
+    burst-timed micro numbers were artifacts: ``block_until_ready`` returns
+    immediately through the tunnel, so bursts measured dispatch cost — the
+    hand-written Pallas projection kernel is actually ~11x FASTER than the
+    XLA plane path at the bench shape, not slower as r1 reported.) If the
+    kernel is faster than the host can dispatch, the slope reports the
+    dispatch floor — the honest single-host throughput bound either way.
+    Returns seconds per call."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+    for n in (n_small, n_large):
+        out = step()
+        float(jnp.sum(out))  # drain the queue + warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step()
+        float(jnp.sum(out))  # the one true sync
+        rows.append((n, time.perf_counter() - t0))
+    (n1, t1), (n2, t2) = rows
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def bench_tpu_train():
@@ -105,8 +152,9 @@ def bench_tpu_train():
     def project(changes):
         return pm(proj_state, changes)[0]
 
-    dt = _timed_loop(lambda: project(changes), TRAIN_STEPS, warmup=20)
-    fk_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
+    for _ in range(20):  # warm the tunnel/compile cache
+        project(changes)
+    fk_us_per_clip = _slope_loop(lambda: project(changes)) / BATCH * 1e6
 
     # hand-written Pallas kernel variant of the same fused path
     from pedestrians_video_2_carla_tpu.ops.camera import make_camera
@@ -122,8 +170,10 @@ def bench_tpu_train():
     cam = make_camera()
     pallas_fn = jax.jit(
         lambda c: fused_projection_pallas(c, rl, rr, cam))
-    dt = _timed_loop(lambda: pallas_fn(changes), TRAIN_STEPS, warmup=20)
-    pallas_us_per_clip = dt / (TRAIN_STEPS * BATCH) * 1e6
+    for _ in range(20):
+        pallas_fn(changes)
+    pallas_us_per_clip = _slope_loop(
+        lambda: pallas_fn(changes)) / BATCH * 1e6
     return clips_per_sec, kernel_rates, fk_us_per_clip, pallas_us_per_clip
 
 
