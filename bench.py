@@ -35,20 +35,21 @@ def _sync(out):
 
 
 def _timed_loop(step, steps, warmup, bursts=3):
-    """Shared timing methodology for EVERY benchmark in this file: slope
-    timing. Each measurement runs ``steps//10`` calls and ``steps`` calls,
-    each run ending in ONE synchronous scalar fetch; the per-call time is
-    the slope between the two, which cancels both the ~33 ms tunnel sync
-    overhead and the in-flight dispatch tail (r1's burst timings ended in a
-    ``block_until_ready`` that does not actually wait through the tunnel —
-    fine for multi-ms chained train steps, badly wrong for sub-ms kernels).
-    Best (min) of ``bursts`` measurements; tunnel noise only ever adds
-    time. Returns the duration of ``steps`` calls in seconds."""
+    """Shared timing methodology for EVERY benchmark in this file: adaptive
+    slope timing. Runs of ``n1`` and ``n2`` calls each end in ONE
+    synchronous scalar fetch (the only true sync through the axon tunnel —
+    ``block_until_ready`` returns immediately there, which made r1's burst
+    numbers artifacts for sub-ms kernels); the per-call time is the slope
+    (T2-T1)/(n2-n1), which cancels the ~33 ms sync overhead and the
+    in-flight dispatch tail. T1/T2 are each the min of ``bursts`` runs
+    (tunnel noise only ever adds time), and ``n2`` grows until the marginal
+    compute dominates sync-RTT noise (>= 50 ms), so sub-ms kernels are
+    timed over enough calls to be meaningful. Returns the duration of
+    ``steps`` calls in seconds."""
     out = None
     for _ in range(warmup):
         out = step()
     _sync(out)
-    n_small = max(1, steps // 10)
 
     def run(n):
         t0 = time.perf_counter()
@@ -58,40 +59,30 @@ def _timed_loop(step, steps, warmup, bursts=3):
         _sync(out)
         return time.perf_counter() - t0
 
-    slope = float("inf")
-    for _ in range(bursts):
-        t1 = run(n_small)
-        t2 = run(steps)
-        slope = min(slope, (t2 - t1) / (steps - n_small))
-    return max(slope, 1e-9) * steps
+    n1, n2 = max(1, steps // 10), steps
+    for _ in range(6):
+        T1 = min(run(n1) for _ in range(bursts))
+        T2 = min(run(n2) for _ in range(bursts))
+        if T2 - T1 > 0.05:
+            break
+        n1, n2 = n2, n2 * 4
+    slope = (T2 - T1) / (n2 - n1)
+    if slope <= 0:  # pure-noise regime: fall back to a safe upper bound
+        slope = T2 / n2
+    return slope * steps
 
 
-def _slope_loop(step, n_small=2, n_large=34):
-    """Slope timing for MICRO benchmarks (sub-ms kernels): N dispatches
-    ending in ONE synchronous scalar fetch, at two values of N — the true
-    per-call time is the slope, which cancels the ~33 ms tunnel sync
-    overhead that would otherwise swamp a sub-ms kernel. (Round-1's
-    burst-timed micro numbers were artifacts: ``block_until_ready`` returns
-    immediately through the tunnel, so bursts measured dispatch cost — the
-    hand-written Pallas projection kernel is actually ~11x FASTER than the
-    XLA plane path at the bench shape, not slower as r1 reported.) If the
-    kernel is faster than the host can dispatch, the slope reports the
-    dispatch floor — the honest single-host throughput bound either way.
-    Returns seconds per call."""
-    import jax
-    import jax.numpy as jnp
-
-    rows = []
-    for n in (n_small, n_large):
-        out = step()
-        float(jnp.sum(out))  # drain the queue + warm
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = step()
-        float(jnp.sum(out))  # the one true sync
-        rows.append((n, time.perf_counter() - t0))
-    (n1, t1), (n2, t2) = rows
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+def _slope_loop(step, steps=64):
+    """Per-call time of a MICRO benchmark (sub-ms kernel) via the same
+    adaptive slope estimator as :func:`_timed_loop`. (Round-1's burst-timed
+    micro numbers were artifacts: ``block_until_ready`` returns immediately
+    through the tunnel, so bursts measured dispatch cost — the hand-written
+    Pallas projection kernel is actually ~2-4x FASTER than the XLA plane
+    path at the bench shape, not slower as r1 reported.) If the kernel is
+    faster than the host can dispatch, this reports the dispatch floor —
+    the honest single-host throughput bound either way. Returns seconds
+    per call."""
+    return _timed_loop(step, steps, warmup=1) / steps
 
 
 def bench_tpu_train():
