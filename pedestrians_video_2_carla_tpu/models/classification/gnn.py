@@ -59,6 +59,16 @@ class _GraphGatedRecurrent(ClassificationModel):
     p_dropout: float = 0.2
     k: int = 2
     gates: Sequence[str] = ("z", "r", "h")
+    #: lax.scan unroll factor for the frame recurrence (capped at the clip
+    #: length). The scan's sequential backward dominates the train step at
+    #: typical clip lengths — FULL unroll lets XLA pipeline the per-frame
+    #: gate matmuls with the saved-activation reads: measured 2x on the
+    #: isolated 2-layer GRU fwd+bwd and ~1.45x on the whole B256/L16 train
+    #: step (tools/gnn_scan_probe.py; real-chip A/B). Partial unroll (8)
+    #: reproducibly LOSES to no unroll, and GConvLSTM's single fused gate
+    #: group sees no win (its subclass defaults back to 1) — so this is a
+    #: measured per-family default, not a universal knob.
+    scan_unroll: int = 16
 
     def _operator(self):
         return laplacian_op(self.input_nodes)
@@ -115,7 +125,8 @@ class _GraphGatedRecurrent(ClassificationModel):
         stacked = jnp.stack(
             [jnp.swapaxes(x_gates[g], 0, 1) for g in self.gates],
             axis=1)  # (L, G, B, J, F)
-        _, ys = jax.lax.scan(step, self._init_carry(B, J, x.dtype), stacked)
+        _, ys = jax.lax.scan(step, self._init_carry(B, J, x.dtype), stacked,
+                             unroll=max(1, min(self.scan_unroll, L)))
         return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
 
     @nn.compact
@@ -165,6 +176,9 @@ class TGCN(_GraphGRUCellMixin, _GraphGatedRecurrent):
 class GConvLSTM(_GraphGatedRecurrent):
     """Chebyshev graph-conv LSTM (torch_geometric_temporal GConvLSTM)."""
     gates: Sequence[str] = ("i", "f", "c", "o")
+    # real-chip A/B: unrolling the LSTM scan is ~7% SLOWER (its single
+    # fused gate group already fills the step); keep the rolled scan
+    scan_unroll: int = 1
     # all four gates convolve h -> the whole step is one fused matmul
     _hidden_groups = (("i", "f", "c", "o"),)
 
