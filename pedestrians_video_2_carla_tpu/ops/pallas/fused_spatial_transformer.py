@@ -172,14 +172,21 @@ def _attn_bwd(do, qkv, num_heads, J, BB):
     return dqkv.reshape(3 * E, J * BB)
 
 
-def _block_fwd(x, wd, num_heads, J, BB, cdtype):
+def _block_fwd(x, wd, num_heads, J, BB, cdtype, attn_fwd=None,
+               res_dtype=None):
     """One transformer block on (E, M) slabs. ``x`` fp32; ``wd`` the
-    per-depth weight dict. Returns (x_next fp32, residuals dict)."""
+    per-depth weight dict. Returns (x_next fp32, residuals dict).
+    ``attn_fwd`` lets callers swap the attention inner loop (the fused
+    temporal kernel uses a head-batched variant; default is this module's
+    per-head/per-dim spatial formulation). ``res_dtype`` stores the large
+    residual slabs in that dtype (the temporal kernel passes the compute
+    dtype to halve the backward's VMEM live set; default keeps fp32)."""
     E = x.shape[0]
+    rd = res_dtype or jnp.float32
     xh1, inv1, y1 = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
     qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1, cdtype)      # (3E, M) f32
     qkv3 = qkv.reshape(3 * E, J, BB)
-    o, probs = _attn_fwd(qkv3, num_heads, J, BB)
+    o, probs = (attn_fwd or _attn_fwd)(qkv3, num_heads, J, BB)
     a = _dense(wd["proj_w"], wd["proj_b"], o, cdtype)
     x2 = x + a
     xh2, inv2, y2 = _ln_fwd(x2, wd["ln2_s"], wd["ln2_b"])
@@ -187,66 +194,73 @@ def _block_fwd(x, wd, num_heads, J, BB, cdtype):
     g = _gelu(h)
     u = _dense(wd["fc2_w"], wd["fc2_b"], g, cdtype)
     x3 = x2 + u
-    res = dict(xh1=xh1, inv1=inv1, y1=y1, qkv3=qkv3, o=o,
-               xh2=xh2, inv2=inv2, y2=y2, h=h, g=g)
+    res = dict(xh1=xh1.astype(rd), inv1=inv1, y1=y1.astype(rd),
+               qkv3=qkv3.astype(rd), o=o.astype(rd),
+               xh2=xh2.astype(rd), inv2=inv2, y2=y2.astype(rd),
+               h=h.astype(rd), g=g.astype(rd))
     return x3, res
 
 
-def _block_bwd(dx3, x_in, wd, res, num_heads, J, BB):
-    """Reverse of :func:`_block_fwd`; all fp32. Returns (dx_in, dW dict)."""
+def _block_bwd(dx3, x_in, wd, res, num_heads, J, BB, attn_bwd=None,
+               cdtype=jnp.float32):
+    """Reverse of :func:`_block_fwd`; fp32 accumulation throughout.
+    ``attn_bwd`` swaps the attention backward to match ``_block_fwd``'s
+    ``attn_fwd``. ``cdtype`` is the dtype of every dot operand (the
+    temporal kernel passes bf16 so the backward matmuls hit the MXU at
+    full rate, matching XLA's own AMP backward; the default keeps the
+    spatial kernel's fp32 dots — its stage is layout-bound, not
+    FLOP-bound, and fp32 there is free precision)."""
     E = x_in.shape[0]
     M = x_in.shape[1]
+    f32 = jnp.float32
+
+    def dot_dx(w, g):       # (in, out) x (out, M) -> (in, M)
+        return jax.lax.dot_general(w.astype(cdtype), g.astype(cdtype),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dot_dw(act, g):     # (in, M) x (out, M) -> (in, out)
+        return jax.lax.dot_general(act.astype(cdtype), g.astype(cdtype),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
     dW = {}
     # x3 = x2 + u
     du = dx3
     dx2 = dx3
     # u = fc2(g)
-    dg = jax.lax.dot_general(wd["fc2_w"].astype(jnp.float32), du,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dW["fc2_w"] = jax.lax.dot_general(res["g"], du,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+    dg = dot_dx(wd["fc2_w"], du)
+    dW["fc2_w"] = dot_dw(res["g"], du)
     dW["fc2_b"] = jnp.sum(du, axis=1)
     # g = gelu(h)
-    dh = dg * _dgelu(res["h"])
+    dh = dg * _dgelu(res["h"].astype(f32))
     # h = fc1(y2)
-    dy2 = jax.lax.dot_general(wd["fc1_w"].astype(jnp.float32), dh,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dW["fc1_w"] = jax.lax.dot_general(res["y2"], dh,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+    dy2 = dot_dx(wd["fc1_w"], dh)
+    dW["fc1_w"] = dot_dw(res["y2"], dh)
     dW["fc1_b"] = jnp.sum(dh, axis=1)
     # y2 = LN2(x2) * s + b
-    dW["ln2_s"] = jnp.sum(dy2 * res["xh2"], axis=1)
+    xh2 = res["xh2"].astype(f32)
+    dW["ln2_s"] = jnp.sum(dy2 * xh2, axis=1)
     dW["ln2_b"] = jnp.sum(dy2, axis=1)
-    dx2 = dx2 + _ln_bwd(dy2, res["xh2"], res["inv2"], wd["ln2_s"])
+    dx2 = dx2 + _ln_bwd(dy2, xh2, res["inv2"], wd["ln2_s"])
     # x2 = x + a
     da = dx2
     dx = dx2
     # a = proj(o)
-    do = jax.lax.dot_general(wd["proj_w"].astype(jnp.float32), da,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dW["proj_w"] = jax.lax.dot_general(res["o"], da,
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+    do = dot_dx(wd["proj_w"], da)
+    dW["proj_w"] = dot_dw(res["o"], da)
     dW["proj_b"] = jnp.sum(da, axis=1)
     # attention (probs recomputed per head inside)
-    dqkv = _attn_bwd(do, res["qkv3"], num_heads, J, BB)
+    dqkv = (attn_bwd or _attn_bwd)(do, res["qkv3"], num_heads, J, BB)
     # qkv = qkv_w(y1)
-    dy1 = jax.lax.dot_general(wd["qkv_w"].astype(jnp.float32), dqkv,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dW["qkv_w"] = jax.lax.dot_general(res["y1"], dqkv,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+    dy1 = dot_dx(wd["qkv_w"], dqkv)
+    dW["qkv_w"] = dot_dw(res["y1"], dqkv)
     dW["qkv_b"] = jnp.sum(dqkv, axis=1)
     # y1 = LN1(x) * s + b
-    dW["ln1_s"] = jnp.sum(dy1 * res["xh1"], axis=1)
+    xh1 = res["xh1"].astype(f32)
+    dW["ln1_s"] = jnp.sum(dy1 * xh1, axis=1)
     dW["ln1_b"] = jnp.sum(dy1, axis=1)
-    dx = dx + _ln_bwd(dy1, res["xh1"], res["inv1"], wd["ln1_s"])
+    dx = dx + _ln_bwd(dy1, xh1, res["inv1"], wd["ln1_s"])
     return dx, dW
 
 

@@ -1,0 +1,476 @@
+"""Fused transformer *block* as one Pallas TPU kernel — built for
+PoseFormer's temporal stage (rf=9 window tokens of frame_dim=832).
+
+Why: after the fused spatial kernel, the temporal stack dominates the B1024
+bf16 train step (slope-timed ~54 ms fwd / ~166 ms fwd+bwd of a ~184 ms
+step). A stage decomposition (tools/temporal_stage_probe.py + /tmp probes on
+the real chip) shows the matmuls are already at the MXU floor (13.9 ms fwd /
+48.9 fwd+bwd) — the other ~70% is (a) the 9-token attention whose
+(B*W, H, 9, 9) score tensors pad 9 -> 128 lanes (~14x bytes; 19.3 ms fwd /
+53 ms fwd+bwd for near-zero FLOPs) and (b) LayerNorm/reshape relayout glue
+between every op (~21 ms fwd). XLA-level reformulations (token padding to 16,
+flat rank-2 activations) both LOSE — the fix needs attention computed in a
+batch-in-lanes layout and the glue fused, i.e. this kernel.
+
+Design: ONE pallas_call per transformer block (depth calls per stage) on
+feature-major (D, T, BB) slabs with the window/batch dim in lanes. Unlike the
+spatial kernel (whole stack in one call), per-block calls keep VMEM bounded:
+the temporal weights are ~11 MB/block bf16 and the backward's fp32 weight-
+gradient accumulators another ~22 MB/block, so a whole-stack kernel would
+not fit; inter-block activations round-trip HBM once per block (~0.3 ms each,
+negligible). Attention runs HEAD-BATCHED on the VPU: the wrapper pre-permutes
+the qkv columns / proj rows from (head, dim) to (dim, head) order (plain
+gathers outside the kernel, so autodiff handles their transpose), making each
+head-dim slice ``qkv[d*H:(d+1)*H]`` one contiguous (H, T, BB) sublane block —
+scores for ALL heads accumulate in HD rank-4 FMAs instead of H*HD rank-3 ones.
+The backward recomputes block intermediates in VMEM (flash-style) and
+accumulates weight grads across sequential grid steps, exactly like the
+spatial kernel's.
+
+Math parity: exactly the flax ``_Block`` in ``models/movements/pose_former.py``
+(LayerNorm eps 1e-5 with fp32 stats, erf-gelu, fp32 softmax); block fwd/bwd
+and LN/gelu/dense primitives are SHARED with
+``ops/pallas/fused_spatial_transformer.py`` — only the attention inner loop
+differs. Dropout is not implemented — gate at the caller.
+
+Reference: the reimplemented third-party PoseFormer (upstream
+``pose_former.py:17-138``) has no TPU analogue; this is the TPU-native
+temporal-stage replacement.
+"""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_spatial_transformer import (_block_fwd, _dense, _dgelu, _gelu,
+                                        _ln_bwd, _ln_fwd, _prep, _w_spec,
+                                        _x_spec)
+
+#: windows per grid step (lane width). The backward holds fp32 weight-grad
+#: accumulators (22 MB at PoseFormer shapes) next to the recompute residuals,
+#: so it runs a narrower block than the forward.
+BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 128))
+BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 128))
+
+#: per-block weight-tuple layout (all single-depth, flat):
+#: (ln1_s (D,), ln1_b (D,), qkv_w (D,3D), qkv_b (3D,), proj_w (D,D),
+#:  proj_b (D,), ln2_s (D,), ln2_b (D,), fc1_w (D,MLP), fc1_b (MLP,),
+#:  fc2_w (MLP,D), fc2_b (D,))
+NUM_WEIGHTS = 12
+
+
+def _head_interleave_perm(dim, num_heads):
+    """Permutation taking (head, dim)-ordered features to (dim, head) order:
+    new row d*H + h = old row h*HD + d."""
+    hd = dim // num_heads
+    return (np.arange(num_heads)[None, :] * hd
+            + np.arange(hd)[:, None]).reshape(-1)
+
+
+def _attn_scores_hb(qkv, num_heads, T, BB):
+    """qkv: (3D, T*BB) 2-D slab (row-sliced per head-dim; kept 2-D because a
+    rank-3 (X, 9, BB) layout pads the 9-token sublane axis 9 -> 16 on every
+    big tensor). Returns fp32 probs (H, q, k, BB)."""
+    D = qkv.shape[0] // 3
+    H = num_heads
+    HD = D // H
+    scale = float(HD) ** -0.5
+
+    def r3(rows):
+        return rows.reshape(rows.shape[0], T, BB)
+
+    s = jnp.zeros((H, T, T, BB), jnp.float32)
+    for d in range(HD):
+        qd = r3(qkv[d * H:(d + 1) * H]) * scale      # (H, T, BB)
+        kd = r3(qkv[D + d * H:D + (d + 1) * H])
+        s = s + (qd[:, :, None, :] * kd[:, None, :, :]).astype(jnp.float32)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=2, keepdims=True)     # (H, q, k, BB)
+
+
+def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None):
+    """Head-batched attention on a (3D, T*BB) slab whose q/k/v rows are
+    (dim, head)-interleaved. Returns (o (D, T*BB) rows (dim, head), probs).
+    ``o_ref``: optional (D, T*BB) VMEM scratch — per-dim output slices are
+    written imperatively so Mosaic's register allocator never sees HD
+    simultaneously-live list entries (the functional concat formulation
+    spilled ~110 MB of vregs at temporal shapes)."""
+    D = qkv.shape[0] // 3
+    H = num_heads
+    HD = D // H
+    p = _attn_scores_hb(qkv, num_heads, T, BB)
+    pc = p.astype(qkv.dtype)
+    outs = []
+    for d in range(HD):
+        vd = qkv[2 * D + d * H:2 * D + (d + 1) * H].reshape(H, T, BB)
+        o_d = jnp.sum(pc * vd[:, None, :, :], axis=2).reshape(H, T * BB)
+        if o_ref is None:
+            outs.append(o_d)
+        else:
+            o_ref[d * H:(d + 1) * H] = o_d.astype(o_ref.dtype)
+    if o_ref is None:
+        return jnp.concatenate(outs, axis=0).astype(jnp.float32), p
+    return o_ref[:].astype(jnp.float32), p
+
+
+def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None):
+    """Reverse of :func:`_attn_fwd_hb`: do (D, T*BB) -> dqkv (3D, T*BB),
+    probabilities recomputed (all heads at once — the rank-4 score tensor is
+    small at window shapes). ``dqkv_ref``: optional (3D, T*BB) VMEM scratch,
+    same liveness rationale as ``_attn_fwd_hb``'s ``o_ref``."""
+    D = qkv.shape[0] // 3
+    H = num_heads
+    HD = D // H
+    scale = float(HD) ** -0.5
+    p = _attn_scores_hb(qkv, num_heads, T, BB)
+
+    def r3(rows):
+        return rows.reshape(rows.shape[0], T, BB)
+
+    dp = jnp.zeros((H, T, T, BB), jnp.float32)
+    dv = [None] * HD
+    for d in range(HD):
+        do_d = r3(do[d * H:(d + 1) * H])             # (H, T, BB)
+        vd = r3(qkv[2 * D + d * H:2 * D + (d + 1) * H])
+        dp = dp + (do_d[:, :, None, :]
+                   * vd.astype(do_d.dtype)[:, None, :, :])
+        dv_d = jnp.sum(p * do_d[:, :, None, :], axis=1).reshape(H, T * BB)
+        if dqkv_ref is None:
+            dv[d] = dv_d
+        else:
+            dqkv_ref[2 * D + d * H:2 * D + (d + 1) * H] = \
+                dv_d.astype(dqkv_ref.dtype)
+    ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+    dq = [None] * HD
+    dk = [None] * HD
+    for d in range(HD):
+        qd = r3(qkv[d * H:(d + 1) * H]).astype(jnp.float32) * scale
+        kd = r3(qkv[D + d * H:D + (d + 1) * H]).astype(jnp.float32)
+        dq_d = (scale * jnp.sum(ds * kd[:, None, :, :], axis=2)
+                ).reshape(H, T * BB)
+        dk_d = jnp.sum(ds * qd[:, :, None, :], axis=1).reshape(H, T * BB)
+        if dqkv_ref is None:
+            dq[d], dk[d] = dq_d, dk_d
+        else:
+            dqkv_ref[d * H:(d + 1) * H] = dq_d.astype(dqkv_ref.dtype)
+            dqkv_ref[D + d * H:D + (d + 1) * H] = dk_d.astype(dqkv_ref.dtype)
+    if dqkv_ref is None:
+        return jnp.concatenate(dq + dk + dv, axis=0)
+    return dqkv_ref[:].astype(jnp.float32)
+
+
+def _lift(wp):
+    """1-D biases/scales -> (1, n): Mosaic block refs stay >= 2-D (the
+    proven spatial-kernel pattern, where depth stacking did this for free)."""
+    return tuple(w if w.ndim > 1 else w[None] for w in wp)
+
+
+def _wd_from(w_refs):
+    """Per-block weight dict from LIFTED (>= 2-D) refs/arrays."""
+    f = jnp.float32
+    (ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+     ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b) = w_refs
+    return dict(
+        ln1_s=jnp.reshape(ln1_s[0].astype(f), (-1, 1)),
+        ln1_b=jnp.reshape(ln1_b[0].astype(f), (-1, 1)),
+        qkv_w=qkv_w[:], qkv_b=qkv_b[0],
+        proj_w=proj_w[:], proj_b=proj_b[0],
+        ln2_s=jnp.reshape(ln2_s[0].astype(f), (-1, 1)),
+        ln2_b=jnp.reshape(ln2_b[0].astype(f), (-1, 1)),
+        fc1_w=fc1_w[:], fc1_b=fc1_b[0],
+        fc2_w=fc2_w[:], fc2_b=fc2_b[0])
+
+
+def _wd_attn(w_refs):
+    """Attention-half weight dict from LIFTED refs (ln1, qkv, proj)."""
+    f = jnp.float32
+    ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b = w_refs
+    return dict(
+        ln1_s=jnp.reshape(ln1_s[0].astype(f), (-1, 1)),
+        ln1_b=jnp.reshape(ln1_b[0].astype(f), (-1, 1)),
+        qkv_w=qkv_w[:], qkv_b=qkv_b[0],
+        proj_w=proj_w[:], proj_b=proj_b[0])
+
+
+def _wd_mlp(w_refs):
+    """MLP-half weight dict from LIFTED refs (ln2, fc1, fc2)."""
+    f = jnp.float32
+    ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b = w_refs
+    return dict(
+        ln2_s=jnp.reshape(ln2_s[0].astype(f), (-1, 1)),
+        ln2_b=jnp.reshape(ln2_b[0].astype(f), (-1, 1)),
+        fc1_w=fc1_w[:], fc1_b=fc1_b[0],
+        fc2_w=fc2_w[:], fc2_b=fc2_b[0])
+
+
+def _dots(cdtype):
+    """Backward dot helpers on compute-dtype operands, fp32 accumulate
+    (full-rate MXU under bf16 AMP — the temporal stage is matmul-bound)."""
+
+    def dot_dx(w, g):       # (in, out) x (out, M) -> (in, M)
+        return jax.lax.dot_general(w.astype(cdtype), g.astype(cdtype),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_dw(act, g):     # (in, M) x (out, M) -> (in, out)
+        return jax.lax.dot_general(act.astype(cdtype), g.astype(cdtype),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return dot_dx, dot_dw
+
+
+def _attn_half_fwd(x, wd, num_heads, T, BB, cdtype, o_ref=None):
+    """x (D, M) fp32 -> (x2 fp32, residuals (xh1, inv1, y1, qkv3, o))."""
+    xh1, inv1, y1 = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
+    qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1, cdtype)   # (3D, M) 2-D
+    # residuals held in the compute dtype: they are only ever dot operands
+    # (cast to cdtype anyway) or re-upcast pointwise — halves the backward
+    # kernel's live VMEM under bf16 AMP
+    qkv = qkv.astype(cdtype)
+    o, _ = _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=o_ref)
+    a = _dense(wd["proj_w"], wd["proj_b"], o, cdtype)
+    return x + a, (xh1, inv1, y1.astype(cdtype), qkv, o)
+
+
+def _mlp_half_fwd(x2, wd, cdtype):
+    """x2 (D, M) fp32 -> (x3 fp32, residuals (xh2, inv2, y2, h, g))."""
+    xh2, inv2, y2 = _ln_fwd(x2, wd["ln2_s"], wd["ln2_b"])
+    h = _dense(wd["fc1_w"], wd["fc1_b"], y2, cdtype)
+    g = _gelu(h)
+    u = _dense(wd["fc2_w"], wd["fc2_b"], g, cdtype)
+    return x2 + u, (xh2, inv2, y2.astype(cdtype), h.astype(cdtype),
+                    g.astype(cdtype))
+
+
+def _fwd_kernel(x_ref, *refs, num_heads, save_x2):
+    w_refs = refs[:NUM_WEIGHTS]
+    out_ref = refs[NUM_WEIGHTS]
+    x2_ref = refs[NUM_WEIGHTS + 1] if save_x2 else None
+    o_scr = refs[-1]
+    D, T, BB = x_ref.shape
+    cdtype = x_ref.dtype
+    x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    x2, _ = _attn_half_fwd(x, _wd_attn(w_refs[:6]), num_heads, T, BB,
+                           cdtype, o_ref=o_scr)
+    if save_x2:
+        x2_ref[:] = x2.astype(cdtype).reshape(D, T, BB)
+    y, _ = _mlp_half_fwd(x2, _wd_mlp(w_refs[6:]), cdtype)
+    out_ref[:] = y.astype(cdtype).reshape(D, T, BB)
+
+
+def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
+    """Backward of the MLP half: (x2, g) -> (dx2, dW_mlp). Recomputes the
+    half's intermediates from the saved x2 (flash-style)."""
+    del num_heads
+    w_refs = refs[:6]
+    g_ref = refs[6]
+    dx2_ref = refs[7]
+    dw_refs = refs[8:]
+    D, T, BB = x2_ref.shape
+    cdtype = x2_ref.dtype
+    dot_dx, dot_dw = _dots(cdtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    wd = _wd_mlp(w_refs)
+    x2 = x2_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    _, (xh2, inv2, y2, h, g) = _mlp_half_fwd(x2, wd, cdtype)
+    du = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    dgl = dot_dx(wd["fc2_w"], du)
+    dW = {"fc2_w": dot_dw(g, du), "fc2_b": jnp.sum(du, axis=1)}
+    dh = dgl * _dgelu(h.astype(jnp.float32))
+    dy2 = dot_dx(wd["fc1_w"], dh)
+    dW["fc1_w"] = dot_dw(y2, dh)
+    dW["fc1_b"] = jnp.sum(dh, axis=1)
+    dW["ln2_s"] = jnp.sum(dy2 * xh2, axis=1)
+    dW["ln2_b"] = jnp.sum(dy2, axis=1)
+    dx2 = du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
+    for wi, name in enumerate(("ln2_s", "ln2_b", "fc1_w", "fc1_b",
+                               "fc2_w", "fc2_b")):
+        contrib = dW[name].astype(dw_refs[wi].dtype)
+        if contrib.ndim < dw_refs[wi].ndim:   # lifted 1-D bias/scale grads
+            contrib = contrib[None]
+        dw_refs[wi][...] += contrib
+    dx2_ref[:] = dx2.astype(cdtype).reshape(D, T, BB)
+
+
+def _bwd_attn_kernel(x_ref, *refs, num_heads):
+    """Backward of the attention half: (x, dx2) -> (dx, dW_attn)."""
+    w_refs = refs[:6]
+    g_ref = refs[6]
+    dx_ref = refs[7]
+    dw_refs = refs[8:14]
+    o_scr, dqkv_scr = refs[14:]
+    D, T, BB = x_ref.shape
+    cdtype = x_ref.dtype
+    dot_dx, dot_dw = _dots(cdtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    wd = _wd_attn(w_refs)
+    x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    _, (xh1, inv1, y1, qkv, o) = _attn_half_fwd(
+        x, wd, num_heads, T, BB, cdtype, o_ref=o_scr)
+    da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    do = dot_dx(wd["proj_w"], da)
+    dW = {"proj_w": dot_dw(o, da), "proj_b": jnp.sum(da, axis=1)}
+    dqkv = _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=dqkv_scr)
+    dy1 = dot_dx(wd["qkv_w"], dqkv)
+    dW["qkv_w"] = dot_dw(y1, dqkv)
+    dW["qkv_b"] = jnp.sum(dqkv, axis=1)
+    dW["ln1_s"] = jnp.sum(dy1 * xh1, axis=1)
+    dW["ln1_b"] = jnp.sum(dy1, axis=1)
+    dx = da + _ln_bwd(dy1, xh1, inv1, wd["ln1_s"])
+    for wi, name in enumerate(("ln1_s", "ln1_b", "qkv_w", "qkv_b",
+                               "proj_w", "proj_b")):
+        contrib = dW[name].astype(dw_refs[wi].dtype)
+        if contrib.ndim < dw_refs[wi].ndim:
+            contrib = contrib[None]
+        dw_refs[wi][...] += contrib
+    dx_ref[:] = dx.astype(cdtype).reshape(D, T, BB)
+
+
+def _block_n(n, block):
+    if jax.default_backend() != "tpu":
+        return max(8, int(np.ceil(n / 8)) * 8) if n < block else block
+    return block
+
+
+_COMPILER = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+
+
+def _fwd_impl(x, wp, num_heads, save_x2=False):
+    N, T, D = x.shape
+    bn = _block_n(N, BLOCK_N_FWD)
+    xt, Np = _prep(x, bn)
+    wl = _lift(wp)
+    out_shape = [jax.ShapeDtypeStruct((D, T, Np), x.dtype)]
+    out_specs = [_x_spec(D, T, bn)]
+    if save_x2:
+        out_shape.append(jax.ShapeDtypeStruct((D, T, Np), x.dtype))
+        out_specs.append(_x_spec(D, T, bn))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=num_heads, save_x2=save_x2),
+        out_shape=out_shape,
+        grid=(Np // bn,),
+        in_specs=[_x_spec(D, T, bn)] + [_w_spec(w) for w in wl],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((D, T * bn), x.dtype)],
+        compiler_params=_COMPILER,
+        interpret=jax.default_backend() != "tpu",
+    )(xt, *wl)
+    outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    y = jnp.transpose(outs[0], (2, 1, 0))[:N]
+    if save_x2:
+        return y, jnp.transpose(outs[1], (2, 1, 0))[:N]
+    return y
+
+
+def _bwd_impl(x, x2, wp, g, num_heads):
+    """Two pallas calls — MLP half then attention half. One fused kernel
+    for the whole block backward spilled ~130 MB of vregs at PoseFormer
+    shapes (the recompute + reverse dataflow keeps too many slab-sized
+    values live for Mosaic's register allocator); each half alone fits
+    comfortably, and the forward saves x2 so neither half recomputes the
+    other."""
+    N, T, D = x.shape
+    bn = _block_n(N, BLOCK_N_BWD)
+    xt, Np = _prep(x, bn)
+    x2t, _ = _prep(x2, bn)
+    gt, _ = _prep(g, bn)
+    wl = _lift(wp)
+    wl_attn, wl_mlp = wl[:6], wl[6:]
+
+    def half(kernel, x_in, w6, g_in, extra_scratch):
+        dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w6]
+        return pl.pallas_call(
+            functools.partial(kernel, num_heads=num_heads),
+            out_shape=[jax.ShapeDtypeStruct((D, T, Np), x.dtype)] + dw_shapes,
+            grid=(Np // bn,),
+            in_specs=[_x_spec(D, T, bn)] + [_w_spec(w) for w in w6]
+            + [_x_spec(D, T, bn)],
+            out_specs=[_x_spec(D, T, bn)] + [_w_spec(w) for w in w6],
+            scratch_shapes=extra_scratch,
+            compiler_params=_COMPILER,
+            interpret=jax.default_backend() != "tpu",
+        )(x_in, *w6, g_in)
+
+    dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [])
+    dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
+                        [pltpu.VMEM((D, T * bn), x.dtype),
+                         pltpu.VMEM((3 * D, T * bn), x.dtype)])
+    dx = jnp.transpose(dx, (2, 1, 0))[:N]
+    dws = list(dw_attn) + list(dw_mlp)
+    return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
+                     for dw, w in zip(dws, wp))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_block_p(x, wp, num_heads):
+    return _fwd_impl(x, wp, num_heads)
+
+
+def _vjp_fwd(x, wp, num_heads):
+    y, x2 = _fwd_impl(x, wp, num_heads, save_x2=True)
+    return y, (x, x2, wp)
+
+
+def _vjp_bwd(num_heads, residuals, g):
+    x, x2, wp = residuals
+    return _bwd_impl(x, x2, wp, g, num_heads)
+
+
+_fused_block_p.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _permute(weights, num_heads):
+    """(head, dim) -> (dim, head) feature order for q/k/v columns and proj
+    rows — plain gathers OUTSIDE the custom_vjp, so their transpose is
+    autodiffed and callers keep the standard (torch-compatible) layout."""
+    (ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, *rest) = weights
+    D = qkv_w.shape[0]
+    perm = _head_interleave_perm(D, num_heads)
+    qkv_w = jnp.concatenate(
+        [qkv_w[:, i * D:(i + 1) * D][:, perm] for i in range(3)], axis=1)
+    qkv_b = jnp.concatenate(
+        [qkv_b[i * D:(i + 1) * D][perm] for i in range(3)])
+    return (ln1_s, ln1_b, qkv_w, qkv_b, proj_w[perm, :], proj_b, *rest)
+
+
+def fused_temporal_block(x, weights, num_heads):
+    """One pre-norm transformer block (LN -> MHA -> residual -> LN -> MLP ->
+    residual), fused into a single Pallas kernel.
+
+    x: (N, T, D) token-major; weights: the 12-tuple documented at the top of
+    this module in the STANDARD layout (same dtype as x for full-rate MXU
+    bf16). Differentiable in x and every weight (hand-written Pallas
+    backward). Exact flax ``_Block`` math except dropout (gate at the
+    caller). Apply depth times for a stack; the final LayerNorm stays a
+    plain flax module (one cheap XLA op)."""
+    return _fused_block_p(x, _permute(weights, num_heads), num_heads)
+
+
+def temporal_block_reference(x, weights, num_heads):
+    """Pure-XLA mirror of the kernel math (numerical oracle for tests)."""
+    N, T, D = x.shape
+    wp = _permute(weights, num_heads)
+    xt = jnp.transpose(x, (2, 1, 0)).reshape(D, T * N).astype(jnp.float32)
+    wd = _wd_from(_lift(wp))
+    y, _ = _block_fwd(
+        xt, wd, num_heads, T, N, x.dtype,
+        attn_fwd=lambda q3, nh, TT, BBB: _attn_fwd_hb(
+            q3.reshape(q3.shape[0], TT * BBB), nh, TT, BBB))
+    y = y.astype(x.dtype).reshape(D, T, N)
+    return jnp.transpose(y, (2, 1, 0))
