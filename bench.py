@@ -170,7 +170,7 @@ def bench_tpu_train():
 
 def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
                 steps=20, warmup=5, grad_accum=1, precision="32",
-                flow_kwargs=None, **model_kwargs):
+                flow_kwargs=None, extra_flops=0, **model_kwargs):
     """Train-step throughput (clips/s) for one BASELINE config.
 
     ``grad_accum > 1`` runs microbatches of ``batch_size`` with
@@ -215,7 +215,8 @@ def _time_train(model_name, flow_cls, loss_modes, batch_size, clip_length,
 
     dt = _timed_loop(step, steps, warmup=warmup)
     clips_per_sec = batch_size * steps / dt
-    return clips_per_sec, _roofline(train_step, batch_size / clips_per_sec)
+    return clips_per_sec, _roofline(train_step, batch_size / clips_per_sec,
+                                    extra_flops=extra_flops)
 
 
 # (peak matmul TFLOP/s bf16, peak HBM GB/s) per device kind; MFU/HBM-util
@@ -228,18 +229,25 @@ _DEVICE_PEAKS = {
 }
 
 
-def _roofline(compiled, sec_per_step):
+def _roofline(compiled, sec_per_step, extra_flops=0):
     """MFU + HBM-bandwidth utilization of a compiled step from XLA's own
     cost model (``compiled.cost_analysis()``). Answers the VERDICT r1
     question "is this actually fast?" for the model-compute-bound configs:
     a low MFU with high HBM util = bandwidth-bound (expected for PoseFormer:
-    ~74% of the v5e roofline, see docs/PERFORMANCE.md)."""
+    ~74% of the v5e roofline, see docs/PERFORMANCE.md).
+
+    ``extra_flops``: analytic FLOPs of Pallas custom calls in the step —
+    XLA's cost model sees a custom call as 0 FLOPs / its operand bytes, so
+    without the correction the fused-kernel paths report absurd MFUs (the
+    r2 temporal-kernel PoseFormer step showed 0.02%)."""
     import jax
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops, acc_bytes = ca.get("flops"), ca.get("bytes accessed")
+        if extra_flops:
+            flops = (flops or 0) + extra_flops
         kind = jax.devices()[0].device_kind
         peak_flops, peak_bw = next(
             (v for k, v in _DEVICE_PEAKS.items() if k in kind),
@@ -248,6 +256,10 @@ def _roofline(compiled, sec_per_step):
         if flops:
             out["tflops_per_step"] = round(flops / 1e12, 3)
             out["mfu_pct"] = round(100 * flops / sec_per_step / peak_flops, 2)
+            if extra_flops:
+                out["flops_note"] = (
+                    f"includes {extra_flops/1e12:.3f} analytic TFLOPs of "
+                    "Pallas kernel calls invisible to XLA's cost model")
         if acc_bytes:
             out["hbm_gb_per_step"] = round(acc_bytes / 1e9, 2)
             out["hbm_util_pct"] = round(
@@ -299,6 +311,21 @@ def bench_secondary_configs():
     # config 5 (PoseFormer + full loss stack at batch 1024) compiles directly
     # since the spatial-transformer dedup shrank the grad graph; keep the
     # gradient-accumulation and smaller-batch fallbacks for robustness
+    def _poseformer_kernel_flops(batch, L=16, rf=9, J=26, emb=32, depth=4,
+                                 mlp=2.0):
+        """Analytic matmul FLOPs of the fused spatial+temporal Pallas
+        kernels per TRAIN step (fwd + dx + dW ~ 3x fwd; attention FLOPs are
+        negligible at T=26/9 tokens). Only the TPU path runs the kernels
+        (temporal_kernel/spatial_kernel default 'auto')."""
+        import jax
+        if jax.default_backend() != "tpu":
+            return 0
+        per_tok = (8 + 4 * mlp)  # qkv 6D^2 + proj 2D^2 + fc1/fc2 2*mlp*D^2
+        ntok_s, d_s = batch * L * J, emb
+        ntok_t, d_t = batch * (L - rf + 1) * rf, J * emb
+        fwd = depth * per_tok * (d_s * d_s * ntok_s + d_t * d_t * ntok_t)
+        return int(3 * fwd)
+
     for precision in ("32", "bf16"):
         suffix = "" if precision == "32" else "_bf16"
         attempts = [
@@ -313,7 +340,9 @@ def bench_secondary_configs():
             try:
                 cps, roof = _time_train(
                     "PoseFormer", PoseLiftingFlow, [LossModes.loc_2d_3d],
-                    clip_length=16, precision=precision, **kw)
+                    clip_length=16, precision=precision,
+                    extra_flops=_poseformer_kernel_flops(
+                        kw["batch_size"]), **kw)
                 out[key] = round(cps, 2)
                 out[key.replace("clips_per_sec", "roofline")] = roof
                 break

@@ -183,12 +183,14 @@ class PoseFormer(MovementsModel):
     spatial_kernel: str = "auto"
     #: same idea for the temporal stage (frames as tokens, frame_dim=J*emb):
     #: "pallas" runs each temporal block as one fused kernel with the
-    #: window/batch dim in lanes (``ops/pallas/fused_temporal_transformer``,
-    #: hand-written backward). The XLA stack pays 9-token sublane padding
-    #: (9 -> 16) plus relayout glue around every op; the kernel measured
-    #: 54.7 -> 42.7 ms fwd / 166.3 -> 145.2 ms fwd+bwd for the depth-4 stack
-    #: at the B1024 bench shape (8192, 9, 832). Same dropout/"auto" rules as
-    #: ``spatial_kernel``; the param tree is identical either way.
+    #: window/batch dim in lanes and fully lane-sliced attention
+    #: (``ops/pallas/fused_temporal_transformer``, hand-written backward).
+    #: The XLA stack pays 9-token sublane padding (9 -> 16) plus relayout
+    #: glue around every op; the kernel measured 54.7 -> 26.1 ms fwd /
+    #: 166.3 -> 96.6 ms fwd+bwd for the depth-4 stack at the B1024 bench
+    #: shape (8192, 9, 832) — 1.47x the whole bf16 train step (5.5k -> 8.1k
+    #: clips/s). Same dropout/"auto" rules as ``spatial_kernel``; the param
+    #: tree is identical either way.
     temporal_kernel: str = "auto"
     movements_output_type: MovementsModelOutputType = \
         MovementsModelOutputType.absolute_loc

@@ -18,14 +18,18 @@ spatial kernel (whole stack in one call), per-block calls keep VMEM bounded:
 the temporal weights are ~11 MB/block bf16 and the backward's fp32 weight-
 gradient accumulators another ~22 MB/block, so a whole-stack kernel would
 not fit; inter-block activations round-trip HBM once per block (~0.3 ms each,
-negligible). Attention runs HEAD-BATCHED on the VPU: the wrapper pre-permutes
-the qkv columns / proj rows from (head, dim) to (dim, head) order (plain
-gathers outside the kernel, so autodiff handles their transpose), making each
-head-dim slice ``qkv[d*H:(d+1)*H]`` one contiguous (H, T, BB) sublane block —
-scores for ALL heads accumulate in HD rank-4 FMAs instead of H*HD rank-3 ones.
-The backward recomputes block intermediates in VMEM (flash-style) and
-accumulates weight grads across sequential grid steps, exactly like the
-spatial kernel's.
+negligible). Attention runs LANE-SLICED on the VPU: with windows in lanes,
+lane index = token*BB + window, so every per-token operand is a free 128-lane
+column slice of the 2-D (3D, T*BB) slab; the wrapper pre-permutes the qkv
+columns / proj rows from (head, dim) to (dim, head) order (plain gathers
+outside the kernel, so autodiff handles their transpose) so the per-head
+reduction is a free sublane regroup ``(D, BB) -> (HD, H, BB)`` + leading sum
+and each (q, k) score tile is exactly one (H=8, BB=128) vreg — zero
+relayouts (a head-batched rank-4 formulation paid 3*HD lane->sublane
+relayouts per grid step and ran 1.6x slower end-to-end; see
+``_probs_lanes``). The backward recomputes block intermediates in VMEM
+(flash-style) and accumulates weight grads across sequential grid steps,
+exactly like the spatial kernel's.
 
 Math parity: exactly the flax ``_Block`` in ``models/movements/pose_former.py``
 (LayerNorm eps 1e-5 with fp32 stats, erf-gelu, fp32 softmax); block fwd/bwd
@@ -71,97 +75,124 @@ def _head_interleave_perm(dim, num_heads):
             + np.arange(hd)[:, None]).reshape(-1)
 
 
-def _attn_scores_hb(qkv, num_heads, T, BB):
-    """qkv: (3D, T*BB) 2-D slab (row-sliced per head-dim; kept 2-D because a
-    rank-3 (X, 9, BB) layout pads the 9-token sublane axis 9 -> 16 on every
-    big tensor). Returns fp32 probs (H, q, k, BB)."""
+def _probs_lanes(qkv, num_heads, T, BB):
+    """Softmax probabilities as a (T, T) nest of one-vreg (H, BB) fp32
+    tiles, computed entirely in lane-sliced form: every operand is a FREE
+    lane slice of the 2-D (3D, T*BB) slab (lane index = t*BB + bb), the
+    per-pair head reduction is a sublane regroup ``(D, BB) -> (HD, H, BB)``
+    + leading-axis sum, and the softmax runs tile-wise. No (X, T, BB)
+    rank-3 unflattens anywhere — the previous head-batched formulation
+    re-laid out three (H, T*BB) -> (H, T, BB) tensors per head-dim per grid
+    step (3*HD lane->sublane relayouts), which dominated the kernel's
+    non-matmul time."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
     scale = float(HD) ** -0.5
+    f32 = jnp.float32
 
-    def r3(rows):
-        return rows.reshape(rows.shape[0], T, BB)
-
-    s = jnp.zeros((H, T, T, BB), jnp.float32)
-    for d in range(HD):
-        qd = r3(qkv[d * H:(d + 1) * H]) * scale      # (H, T, BB)
-        kd = r3(qkv[D + d * H:D + (d + 1) * H])
-        s = s + (qd[:, :, None, :] * kd[:, None, :, :]).astype(jnp.float32)
-    m = jnp.max(s, axis=2, keepdims=True)
-    e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=2, keepdims=True)     # (H, q, k, BB)
+    probs = []
+    for tq in range(T):
+        qs = qkv[:D, tq * BB:(tq + 1) * BB].astype(f32) * scale
+        row = []
+        for tk in range(T):
+            prod = qs * qkv[D:2 * D, tk * BB:(tk + 1) * BB].astype(f32)
+            row.append(jnp.sum(prod.reshape(HD, H, BB), axis=0))  # (H, BB)
+        m = functools.reduce(jnp.maximum, row)
+        e = [jnp.exp(s - m) for s in row]
+        inv = 1.0 / functools.reduce(jnp.add, e)
+        probs.append([ei * inv for ei in e])
+    return probs
 
 
 def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None):
     """Head-batched attention on a (3D, T*BB) slab whose q/k/v rows are
-    (dim, head)-interleaved. Returns (o (D, T*BB) rows (dim, head), probs).
-    ``o_ref``: optional (D, T*BB) VMEM scratch — per-dim output slices are
-    written imperatively so Mosaic's register allocator never sees HD
-    simultaneously-live list entries (the functional concat formulation
-    spilled ~110 MB of vregs at temporal shapes)."""
+    (dim, head)-interleaved (row = d*H + h, so the head axis is a sublane
+    regroup). Returns (o (D, T*BB), None); all work is lane-sliced (see
+    :func:`_probs_lanes`). ``o_ref``: optional (D, T*BB) VMEM scratch —
+    output columns are written imperatively so Mosaic's register allocator
+    never holds T slab-sized columns live at once."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
-    p = _attn_scores_hb(qkv, num_heads, T, BB)
-    pc = p.astype(qkv.dtype)
-    outs = []
-    for d in range(HD):
-        vd = qkv[2 * D + d * H:2 * D + (d + 1) * H].reshape(H, T, BB)
-        o_d = jnp.sum(pc * vd[:, None, :, :], axis=2).reshape(H, T * BB)
+    probs = _probs_lanes(qkv, num_heads, T, BB)
+    f32 = jnp.float32
+    cols = []
+    for tq in range(T):
+        acc = None
+        for tk in range(T):
+            vt = qkv[2 * D:, tk * BB:(tk + 1) * BB].astype(f32)
+            contrib = vt.reshape(HD, H, BB) * probs[tq][tk][None]
+            acc = contrib if acc is None else acc + contrib
+        col = acc.reshape(D, BB)
         if o_ref is None:
-            outs.append(o_d)
+            cols.append(col)
         else:
-            o_ref[d * H:(d + 1) * H] = o_d.astype(o_ref.dtype)
+            o_ref[:, tq * BB:(tq + 1) * BB] = col.astype(o_ref.dtype)
     if o_ref is None:
-        return jnp.concatenate(outs, axis=0).astype(jnp.float32), p
-    return o_ref[:].astype(jnp.float32), p
+        return jnp.concatenate(cols, axis=1), None
+    return o_ref[:].astype(f32), None
 
 
 def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None):
-    """Reverse of :func:`_attn_fwd_hb`: do (D, T*BB) -> dqkv (3D, T*BB),
-    probabilities recomputed (all heads at once — the rank-4 score tensor is
-    small at window shapes). ``dqkv_ref``: optional (3D, T*BB) VMEM scratch,
-    same liveness rationale as ``_attn_fwd_hb``'s ``o_ref``."""
+    """Reverse of :func:`_attn_fwd_hb`: do (D, T*BB) fp32 -> dqkv
+    (3D, T*BB), probabilities recomputed tile-wise. Same lane-sliced
+    structure as the forward; ``dqkv_ref``: optional (3D, T*BB) VMEM
+    scratch, written column-by-column."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
     scale = float(HD) ** -0.5
-    p = _attn_scores_hb(qkv, num_heads, T, BB)
+    f32 = jnp.float32
+    probs = _probs_lanes(qkv, num_heads, T, BB)
 
-    def r3(rows):
-        return rows.reshape(rows.shape[0], T, BB)
+    def h3(x):  # (D, BB) -> (HD, H, BB) sublane regroup (free)
+        return x.reshape(HD, H, BB)
 
-    dp = jnp.zeros((H, T, T, BB), jnp.float32)
-    dv = [None] * HD
-    for d in range(HD):
-        do_d = r3(do[d * H:(d + 1) * H])             # (H, T, BB)
-        vd = r3(qkv[2 * D + d * H:2 * D + (d + 1) * H])
-        dp = dp + (do_d[:, :, None, :]
-                   * vd.astype(do_d.dtype)[:, None, :, :])
-        dv_d = jnp.sum(p * do_d[:, :, None, :], axis=1).reshape(H, T * BB)
-        if dqkv_ref is None:
-            dv[d] = dv_d
-        else:
-            dqkv_ref[2 * D + d * H:2 * D + (d + 1) * H] = \
-                dv_d.astype(dqkv_ref.dtype)
-    ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
-    dq = [None] * HD
-    dk = [None] * HD
-    for d in range(HD):
-        qd = r3(qkv[d * H:(d + 1) * H]).astype(jnp.float32) * scale
-        kd = r3(qkv[D + d * H:D + (d + 1) * H]).astype(jnp.float32)
-        dq_d = (scale * jnp.sum(ds * kd[:, None, :, :], axis=2)
-                ).reshape(H, T * BB)
-        dk_d = jnp.sum(ds * qd[:, :, None, :], axis=1).reshape(H, T * BB)
-        if dqkv_ref is None:
-            dq[d], dk[d] = dq_d, dk_d
-        else:
-            dqkv_ref[d * H:(d + 1) * H] = dq_d.astype(dqkv_ref.dtype)
-            dqkv_ref[D + d * H:D + (d + 1) * H] = dk_d.astype(dqkv_ref.dtype)
+    def lane(base, t):
+        return qkv[base:base + D, t * BB:(t + 1) * BB].astype(f32)
+
+    # dv columns (accumulated over queries) + dp tiles
+    dp = [[None] * T for _ in range(T)]
+    dv_cols = [None] * T
+    for tk in range(T):
+        vk = lane(2 * D, tk)
+        acc = None
+        for tq in range(T):
+            do_col = do[:, tq * BB:(tq + 1) * BB]
+            contrib = h3(do_col) * probs[tq][tk][None]
+            acc = contrib if acc is None else acc + contrib
+            dp[tq][tk] = jnp.sum(h3(do_col * vk), axis=0)       # (H, BB)
+        dv_cols[tk] = acc.reshape(D, BB)
+    # softmax backward tile-wise, then dq/dk columns
+    ds = [[None] * T for _ in range(T)]
+    dq_cols = [None] * T
+    for tq in range(T):
+        c = functools.reduce(jnp.add,
+                             (dp[tq][tk] * probs[tq][tk] for tk in range(T)))
+        acc = None
+        for tk in range(T):
+            ds[tq][tk] = probs[tq][tk] * (dp[tq][tk] - c)
+            contrib = h3(lane(D, tk)) * ds[tq][tk][None]
+            acc = contrib if acc is None else acc + contrib
+        dq_cols[tq] = acc.reshape(D, BB) * scale
+    dk_cols = [None] * T
+    for tk in range(T):
+        acc = None
+        for tq in range(T):
+            contrib = h3(lane(0, tq)) * ds[tq][tk][None]
+            acc = contrib if acc is None else acc + contrib
+        dk_cols[tk] = acc.reshape(D, BB) * scale
     if dqkv_ref is None:
-        return jnp.concatenate(dq + dk + dv, axis=0)
-    return dqkv_ref[:].astype(jnp.float32)
+        return jnp.concatenate(
+            [jnp.concatenate(cols, axis=1)
+             for cols in (dq_cols, dk_cols, dv_cols)], axis=0)
+    for t in range(T):
+        sl = slice(t * BB, (t + 1) * BB)
+        dqkv_ref[0:D, sl] = dq_cols[t].astype(dqkv_ref.dtype)
+        dqkv_ref[D:2 * D, sl] = dk_cols[t].astype(dqkv_ref.dtype)
+        dqkv_ref[2 * D:, sl] = dv_cols[t].astype(dqkv_ref.dtype)
+    return dqkv_ref[:].astype(f32)
 
 
 def _lift(wp):
