@@ -56,8 +56,9 @@ from .fused_spatial_transformer import (_block_fwd, _dense, _dgelu, _gelu,
 
 #: windows per grid step (lane width). The backward holds fp32 weight-grad
 #: accumulators (22 MB at PoseFormer shapes) next to the recompute residuals,
-#: so it runs a narrower block than the forward.
-BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 128))
+#: so it runs a narrower block than the forward (256 fails to compile for the
+#: backward halves; measured fwd 26.1 ms @128 -> 24.6 ms @256).
+BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 256))
 BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 128))
 
 #: per-block weight-tuple layout (all single-depth, flat):
