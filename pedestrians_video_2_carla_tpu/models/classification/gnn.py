@@ -69,9 +69,37 @@ class _GraphGatedRecurrent(ClassificationModel):
     #: group sees no win (its subclass defaults back to 1) — so this is a
     #: measured per-family default, not a universal knob.
     scan_unroll: int = 16
+    #: "auto" | "pallas" | "xla": "pallas" runs the whole per-layer frame
+    #: recurrence as ONE fused TPU kernel (``ops/pallas/fused_graph_gru``,
+    #: hand-written fwd + bwd, carry resident in VMEM) — available for the
+    #: GRU-cell family only (``_pallas_cell == "gru"``). "auto" selects it
+    #: on TPU for MXU-sized hidden states (H >= 32) in fp32 compute, where
+    #: it is the measured win (B256/L16 GConvGRU train step 11.76 -> 8.62 ms,
+    #: 1.37x; ``tools/graph_gru_kernel_probe.py``); under bf16 AMP the
+    #: fully-unrolled XLA scan is ~8% FASTER (5.09 vs 5.56 ms — half-width
+    #: HBM traffic erases the kernel's relayout savings), so "auto" keeps
+    #: the scan there. Dropout in this family applies only outside the
+    #: recurrence (after layers/pooling), so the kernel path is valid during
+    #: training too. Param tree is identical on both paths (same
+    #: ``_gate_params`` names in the same order).
+    graph_kernel: str = "auto"
+
+    #: Pallas cell implemented for this family (None -> XLA scan only)
+    _pallas_cell = None
 
     def _operator(self):
         return laplacian_op(self.input_nodes)
+
+    def _use_pallas(self, dtype) -> bool:
+        if self.graph_kernel == "xla" or self._pallas_cell is None:
+            return False
+        if self.graph_kernel == "pallas":
+            return True
+        # "auto": measured win only for MXU-sized hidden states (H=128
+        # family) in fp32 — tiny-H models (SpatialTemporalGNN H=3) and bf16
+        # AMP keep the fully-unrolled XLA scan (see graph_kernel docstring)
+        return (jax.default_backend() == "tpu" and self.hidden_size >= 32
+                and dtype == jnp.float32)
 
     def _gate_params(self, layer: str, gate: str, in_features: int):
         init = nn.initializers.lecun_normal()
@@ -105,6 +133,8 @@ class _GraphGatedRecurrent(ClassificationModel):
             [jnp.concatenate(list(params[g][0]), axis=0)
              for g in self.gates], axis=1) + jnp.concatenate(
             [params[g][1] for g in self.gates])
+        if self._use_pallas(x_all.dtype):
+            return self._pallas_layer(x_all, params, J)
         H = self.hidden_size
         x_gates = {g: x_all[..., i * H:(i + 1) * H]
                    for i, g in enumerate(self.gates)}
@@ -129,6 +159,27 @@ class _GraphGatedRecurrent(ClassificationModel):
                              unroll=max(1, min(self.scan_unroll, L)))
         return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
 
+    def _pallas_layer(self, x_all, params, J):
+        """Frame recurrence as ONE fused TPU kernel
+        (:mod:`...ops.pallas.fused_graph_gru`): ``x_all`` is the whole-clip
+        (B, L, J, gates*H) input-side pre-activation (gate order = the z|r|h
+        the kernel expects, input biases already added)."""
+        from ...ops.pallas import fused_graph_gru as fg
+        # fold the hidden-side biases in too — the kernel takes one fused
+        # pre-activation term per gate (bx + bh enter the same sums)
+        bh = jnp.concatenate([params[g][3] for g in self.gates])
+        xg, B = fg.to_slabs(x_all + bh)
+        wzr = jnp.concatenate(
+            [jnp.concatenate([params["z"][2][n], params["r"][2][n]], axis=1)
+             for n in range(self.k)], axis=1)
+        wh = jnp.concatenate(list(params["h"][2]), axis=1)
+        a_ops = jnp.asarray(fg.kron_cheb_ops(self._operator(), self.k))
+        rows_per_group = J * fg.BBR
+        ys = fg.graph_gru_scan(
+            xg, a_ops, wzr, wh, self.k, rows_per_group,
+            fg.pick_block_groups(xg.shape[1] // rows_per_group))
+        return fg.from_slabs(ys, B, J)
+
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
         op = jnp.asarray(self._operator(), dtype=x.dtype)
@@ -142,6 +193,7 @@ class _GraphGatedRecurrent(ClassificationModel):
 class _GraphGRUCellMixin:
     # z and r both convolve h -> one fused matmul; h~ convolves r*h
     _hidden_groups = (("z", "r"), ("h",))
+    _pallas_cell = "gru"
 
     def _cell(self, op, hw, h, xg):
         H = self.hidden_size
