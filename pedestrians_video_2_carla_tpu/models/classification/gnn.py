@@ -71,14 +71,15 @@ class _GraphGatedRecurrent(ClassificationModel):
     scan_unroll: int = 16
     #: "auto" | "pallas" | "xla": "pallas" runs the whole per-layer frame
     #: recurrence as ONE fused TPU kernel (``ops/pallas/fused_graph_gru``,
-    #: hand-written fwd + bwd, carry resident in VMEM) — available for the
-    #: GRU-cell family only (``_pallas_cell == "gru"``). "auto" selects it
-    #: on TPU for MXU-sized hidden states (H >= 32) in fp32 compute, where
-    #: it is the measured win (B256/L16 GConvGRU train step 11.76 -> 8.62 ms,
-    #: 1.37x; ``tools/graph_gru_kernel_probe.py``); under bf16 AMP the
-    #: fully-unrolled XLA scan is ~8% FASTER (5.09 vs 5.56 ms — half-width
-    #: HBM traffic erases the kernel's relayout savings), so "auto" keeps
-    #: the scan there. Dropout in this family applies only outside the
+    #: hand-written fwd + bwd, carry resident in VMEM) — GRU and LSTM cells
+    #: (``_pallas_cell``). "auto" selects it
+    #: on TPU for MXU-sized hidden states (H >= 32) in the dtypes where it
+    #: is the measured win (``_pallas_auto_dtypes``, per
+    #: ``tools/graph_gru_kernel_probe.py`` B256/L16): GRU fp32 1.37x
+    #: (11.76 -> 8.62 ms) but bf16 ~8% slower than the fully-unrolled XLA
+    #: scan (half-width HBM traffic erases the kernel's relayout savings);
+    #: LSTM wins both (fp32 1.40x, bf16 1.50x — its rolled scan has no
+    #: unroll win). Dropout in this family applies only outside the
     #: recurrence (after layers/pooling), so the kernel path is valid during
     #: training too. Param tree is identical on both paths (same
     #: ``_gate_params`` names in the same order).
@@ -86,6 +87,9 @@ class _GraphGatedRecurrent(ClassificationModel):
 
     #: Pallas cell implemented for this family (None -> XLA scan only)
     _pallas_cell = None
+    #: compute dtypes where "auto" picks the kernel — measured per cell
+    #: family on the real chip (tools/graph_gru_kernel_probe.py)
+    _pallas_auto_dtypes = ()
 
     def _operator(self):
         return laplacian_op(self.input_nodes)
@@ -96,10 +100,11 @@ class _GraphGatedRecurrent(ClassificationModel):
         if self.graph_kernel == "pallas":
             return True
         # "auto": measured win only for MXU-sized hidden states (H=128
-        # family) in fp32 — tiny-H models (SpatialTemporalGNN H=3) and bf16
-        # AMP keep the fully-unrolled XLA scan (see graph_kernel docstring)
+        # family) — tiny-H models (SpatialTemporalGNN H=3) keep the XLA
+        # scan, and the winning dtypes differ per cell family (see the
+        # graph_kernel docstring)
         return (jax.default_backend() == "tpu" and self.hidden_size >= 32
-                and dtype == jnp.float32)
+                and dtype in self._pallas_auto_dtypes)
 
     def _gate_params(self, layer: str, gate: str, in_features: int):
         init = nn.initializers.lecun_normal()
@@ -159,26 +164,21 @@ class _GraphGatedRecurrent(ClassificationModel):
                              unroll=max(1, min(self.scan_unroll, L)))
         return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
 
-    def _pallas_layer(self, x_all, params, J):
-        """Frame recurrence as ONE fused TPU kernel
-        (:mod:`...ops.pallas.fused_graph_gru`): ``x_all`` is the whole-clip
-        (B, L, J, gates*H) input-side pre-activation (gate order = the z|r|h
-        the kernel expects, input biases already added)."""
+    def _pallas_slabs(self, x_all, params):
+        """Shared kernel-input packing: slab-ify the whole-clip input-side
+        pre-activations (``x_all``: (B, L, J, gates*H), input biases already
+        added) with the hidden-side biases folded in — the kernels take one
+        fused pre-activation term per gate (bx + bh enter the same sums)."""
         from ...ops.pallas import fused_graph_gru as fg
-        # fold the hidden-side biases in too — the kernel takes one fused
-        # pre-activation term per gate (bx + bh enter the same sums)
         bh = jnp.concatenate([params[g][3] for g in self.gates])
         xg, B = fg.to_slabs(x_all + bh)
-        wzr = jnp.concatenate(
-            [jnp.concatenate([params["z"][2][n], params["r"][2][n]], axis=1)
-             for n in range(self.k)], axis=1)
-        wh = jnp.concatenate(list(params["h"][2]), axis=1)
         a_ops = jnp.asarray(fg.kron_cheb_ops(self._operator(), self.k))
-        rows_per_group = J * fg.BBR
-        ys = fg.graph_gru_scan(
-            xg, a_ops, wzr, wh, self.k, rows_per_group,
-            fg.pick_block_groups(xg.shape[1] // rows_per_group))
-        return fg.from_slabs(ys, B, J)
+        return fg, xg, B, a_ops
+
+    def _pallas_layer(self, x_all, params, J):
+        """Frame recurrence as ONE fused TPU kernel — provided by the cell
+        mixin (``_pallas_cell`` gates availability via ``_use_pallas``)."""
+        raise NotImplementedError
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
@@ -194,6 +194,20 @@ class _GraphGRUCellMixin:
     # z and r both convolve h -> one fused matmul; h~ convolves r*h
     _hidden_groups = (("z", "r"), ("h",))
     _pallas_cell = "gru"
+    # fp32 only: bf16's unrolled XLA scan is ~8% faster (5.09 vs 5.56 ms)
+    _pallas_auto_dtypes = (jnp.float32,)
+
+    def _pallas_layer(self, x_all, params, J):
+        fg, xg, B, a_ops = self._pallas_slabs(x_all, params)
+        wzr = jnp.concatenate(
+            [jnp.concatenate([params["z"][2][n], params["r"][2][n]], axis=1)
+             for n in range(self.k)], axis=1)
+        wh = jnp.concatenate(list(params["h"][2]), axis=1)
+        rows_per_group = J * fg.BBR
+        ys = fg.graph_gru_scan(
+            xg, a_ops, wzr, wh, self.k, rows_per_group,
+            fg.pick_block_groups(xg.shape[1] // rows_per_group))
+        return fg.from_slabs(ys, B, J)
 
     def _cell(self, op, hw, h, xg):
         H = self.hidden_size
@@ -233,6 +247,21 @@ class GConvLSTM(_GraphGatedRecurrent):
     scan_unroll: int = 1
     # all four gates convolve h -> the whole step is one fused matmul
     _hidden_groups = (("i", "f", "c", "o"),)
+    _pallas_cell = "lstm"
+    # kernel wins BOTH precisions here (fp32 1.40x, bf16 1.50x): the LSTM's
+    # rolled scan has no unroll win to fall back on (see scan_unroll note)
+    _pallas_auto_dtypes = (jnp.float32, jnp.bfloat16)
+
+    def _pallas_layer(self, x_all, params, J):
+        fg, xg, B, a_ops = self._pallas_slabs(x_all, params)
+        w = jnp.concatenate(
+            [jnp.concatenate([params[g][2][n] for g in self.gates], axis=1)
+             for n in range(self.k)], axis=1)   # (H, k*4H), per-n i|f|c|o
+        rows_per_group = J * fg.BBR
+        ys = fg.graph_lstm_scan(
+            xg, a_ops, w, self.k, rows_per_group,
+            fg.pick_block_groups(xg.shape[1] // rows_per_group))
+        return fg.from_slabs(ys, B, J)
 
     def _init_carry(self, B, J, dtype):
         zeros = jnp.zeros((B, J, self.hidden_size), dtype)

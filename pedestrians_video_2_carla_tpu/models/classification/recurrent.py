@@ -13,6 +13,9 @@ class _RecurrentClassifier(ClassificationModel):
     num_layers: int = 2
     embeddings_size: Optional[int] = None
     p_dropout: float = 0.25
+    #: forwarded to the hoisted recurrent layers ("auto" | "pallas" | "xla"
+    #: — see models/rnn.py; GRU layers ignore it until a GRU kernel exists)
+    rnn_kernel: str = "auto"
 
     #: hoisted full-sequence layer (models/rnn.py) + the flax-cell name it
     #: must carry for checkpoint compatibility with the previous
@@ -28,7 +31,7 @@ class _RecurrentClassifier(ClassificationModel):
             h = nn.Dense(self.embeddings_size)(h)
         h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
         for i in range(self.num_layers):
-            _, h = self._layer_cls(self.hidden_size,
+            _, h = self._layer_cls(self.hidden_size, kernel=self.rnn_kernel,
                                    name=f"{self._cell_name}_{i}")(h)
         out = nn.Dense(self.num_classes)(h)
         return out[:, -1, :]

@@ -41,6 +41,31 @@ from flax.linen.dtypes import promote_dtype
 Carry = Tuple[jnp.ndarray, jnp.ndarray]
 
 
+def _dense_lstm_kernel_scan(xg, k_h, B):
+    """Run the LSTM recurrence as ONE fused Pallas kernel
+    (``ops/pallas/fused_graph_gru.graph_lstm_scan`` with k=1 — the graph
+    contraction degenerates away and the slab rows are just the batch).
+
+    :param xg: (L, B, 4H) gate pre-activations with ALL biases folded in,
+        gate order i|f|g|o (the kernel's i|f|c|o).
+    :param k_h: (H, 4H) hidden-side weights.
+    :return: ``((c_final, h_final), hs (B, L, H))`` matching the XLA scan.
+    """
+    from ..ops.pallas.fused_graph_gru import (graph_lstm_scan,
+                                              pick_block_groups)
+    L, rows0, _ = xg.shape
+    pad = (-rows0) % 8
+    if pad:
+        xg = jnp.concatenate(
+            [xg, jnp.zeros((L, pad, xg.shape[2]), xg.dtype)], axis=1)
+    # R=8 keeps row-blocks sublane-aligned; target 128 groups = 1024-row
+    # blocks (whole batch in one grid block up to B=1024)
+    ys, cs = graph_lstm_scan(
+        xg, jnp.zeros((0, 8, 8), xg.dtype), k_h, 1, 8,
+        pick_block_groups((rows0 + pad) // 8, target=128), True)
+    return (cs[-1, :B], ys[-1, :B]), jnp.swapaxes(ys[:, :B], 0, 1)
+
+
 class _GateParams(nn.Module):
     """Parameter-only child module producing the ``<name>/kernel`` (+
     ``<name>/bias``) subtree of one flax-cell gate."""
@@ -71,6 +96,26 @@ class HoistedLSTM(nn.Module):
     kernel_init: Any = initializers.lecun_normal()
     recurrent_kernel_init: Any = initializers.orthogonal()
     bias_init: Any = initializers.zeros_init()
+    #: "auto" | "pallas" | "xla": "pallas" runs the scan as ONE fused TPU
+    #: kernel (``ops/pallas/fused_graph_gru.graph_lstm_scan`` with k=1 —
+    #: a plain dense LSTM: VMEM-resident (h, c) carry, weights loaded once).
+    #: Applies only with a zeros initial carry (an explicit
+    #: ``initial_carry`` falls back to the XLA scan). Kernel adds are
+    #: reassociated vs the flax cell (bit-identical is only guaranteed on
+    #: the XLA path). Measured on the B256/L16/H64 2-layer LSTM classifier
+    #: train step (tools/graph_gru_kernel_probe.py LSTM): fp32 0.87x
+    #: (kernel LOSES — the XLA scan at these small shapes is already
+    #: latency-lean), bf16 1.07x — so "auto" picks the kernel on TPU only
+    #: under bf16 compute with H >= 32.
+    kernel: str = "auto"
+
+    def _use_kernel(self, initial_carry, dtype) -> bool:
+        if self.kernel == "xla" or initial_carry is not None:
+            return False
+        if self.kernel == "pallas":
+            return True
+        return (self.kernel == "auto" and jax.default_backend() == "tpu"
+                and self.features >= 32 and dtype == jnp.bfloat16)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -92,6 +137,7 @@ class HoistedLSTM(nn.Module):
         b_h = jnp.concatenate(bs_h, axis=-1)               # (4H,)
         (x, k_i, k_h, b_h) = promote_dtype(x, k_i, k_h, b_h, dtype=None)
         dt = x.dtype
+        use_kernel = self._use_kernel(initial_carry, dt)
         if initial_carry is None:
             initial_carry = (jnp.zeros((B, H), dt), jnp.zeros((B, H), dt))
         else:
@@ -103,6 +149,9 @@ class HoistedLSTM(nn.Module):
         gx = jnp.swapaxes(gx, 0, 1)                        # (L, B, 4H)
         if self.reverse:
             gx = jnp.flip(gx, axis=0)
+
+        if use_kernel:
+            return _dense_lstm_kernel_scan(gx + b_h, k_h, B)
 
         def step(carry, gx_t):
             c, h = carry
@@ -133,6 +182,10 @@ class HoistedGRU(nn.Module):
     kernel_init: Any = initializers.lecun_normal()
     recurrent_kernel_init: Any = initializers.orthogonal()
     bias_init: Any = initializers.zeros_init()
+    #: reserved for API symmetry with HoistedLSTM — the GRU candidate gate's
+    #: ``r * (h @ W + b)`` structure has no fused kernel yet, so every value
+    #: runs the XLA scan
+    kernel: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,

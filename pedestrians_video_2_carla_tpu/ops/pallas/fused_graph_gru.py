@@ -1,6 +1,7 @@
-"""Fused graph-convolutional GRU scan as ONE Pallas TPU kernel — built for
-the classification GNN family (GConvGRU / DCRNN / TGCN over 26-node skeleton
-graphs, ``models/classification/gnn.py``).
+"""Fused graph-convolutional GRU/LSTM scans as ONE Pallas TPU kernel each —
+built for the classification GNN family (GConvGRU / DCRNN / TGCN /
+SpatialTemporalGNN / GConvLSTM over 26-node skeleton graphs,
+``models/classification/gnn.py``).
 
 Why: the GRU recurrence over frames is inherently sequential, and on XLA the
 B256/L16 two-layer stack costs ~3.1 ms forward but ~10 ms forward+backward
@@ -306,6 +307,200 @@ def _scan_bwd(k, R, block_groups, res, dys):
 
 
 graph_gru_scan.defvjp(_scan_fwd, _scan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GConvLSTM: same slab layout and grid, one fused i|f|c|o gate group. The
+# forward emits BOTH h and c per frame (c is needed to recompute gates in the
+# reverse walk — unlike the GRU, the LSTM carry is not recoverable from the
+# emitted hidden states alone).
+# ---------------------------------------------------------------------------
+
+
+def _lstm_gates_fwd(h, xg, a_ops, w, k, G, R, H, cdtype):
+    """(i, f, g, o) fp32 given carry ``h`` and pre-activations ``xg``
+    (input-side conv + both biases, gate order i|f|c|o)."""
+    hw = _dot(h, w, ((1,), (0,)), cdtype)               # (ROWS, k*4H)
+    acts = xg.astype(jnp.float32) + hw[:, :4 * H]
+    for n in range(1, k):
+        acts = acts + _apply_groups(a_ops[n - 1],
+                                    hw[:, n * 4 * H:(n + 1) * 4 * H],
+                                    G, R, cdtype)
+    return (jax.nn.sigmoid(acts[:, :H]), jax.nn.sigmoid(acts[:, H:2 * H]),
+            jnp.tanh(acts[:, 2 * H:3 * H]), jax.nn.sigmoid(acts[:, 3 * H:]))
+
+
+def _lstm_fwd_kernel(*refs, k, G, R, H, cdtype):
+    if k > 1:
+        xg_ref, a_ref, w_ref, ys_ref, cs_ref, h_ref, c_ref = refs
+        a_ops = [a_ref[n] for n in range(k - 1)]
+    else:
+        xg_ref, w_ref, ys_ref, cs_ref, h_ref, c_ref = refs
+        a_ops = []
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    h, c = h_ref[...], c_ref[...]
+    i, f, g, o = _lstm_gates_fwd(h, xg_ref[0], a_ops, w_ref[...],
+                                 k, G, R, H, cdtype)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_ref[...] = h_new
+    c_ref[...] = c_new
+    ys_ref[0] = h_new.astype(ys_ref.dtype)
+    cs_ref[0] = c_new.astype(cs_ref.dtype)
+
+
+def _lstm_bwd_kernel(*refs, k, G, R, H, L, cdtype, with_dcs):
+    refs = list(refs)
+    xg_ref, ysp_ref, csp_ref, cs_ref, dys_ref = refs[:5]
+    rest = refs[5:]
+    dcs_ref = rest.pop(0) if with_dcs else None
+    a_ops = [rest[0][n] for n in range(k - 1)] if k > 1 else []
+    if k > 1:
+        rest = rest[1:]
+    w_ref, dxg_ref, dw_ref, dh_ref, dc_ref = rest
+    tr = pl.program_id(1)                   # frame = L-1-tr (reverse walk)
+
+    @pl.when(tr == 0)
+    def _init_carry():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, tr == 0))
+    def _init_weight_grads():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    w = w_ref[...]
+    not_first_frame = (tr != L - 1).astype(jnp.float32)
+    h_prev = ysp_ref[0].astype(jnp.float32) * not_first_frame
+    c_prev = csp_ref[0].astype(jnp.float32) * not_first_frame
+    i, f, g, o = _lstm_gates_fwd(h_prev, xg_ref[0], a_ops, w,
+                                 k, G, R, H, cdtype)
+    tc = jnp.tanh(cs_ref[0].astype(jnp.float32))
+
+    dh_t = dys_ref[0].astype(jnp.float32) + dh_ref[...]
+    do = dh_t * tc
+    dc_t = dh_t * o * (1.0 - tc * tc) + dc_ref[...]
+    if with_dcs:
+        dc_t = dc_t + dcs_ref[0].astype(jnp.float32)
+    di = dc_t * g
+    df = dc_t * c_prev
+    dg = dc_t * i
+    dc_ref[...] = dc_t * f
+    da = jnp.concatenate([di * i * (1.0 - i), df * f * (1.0 - f),
+                          dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+    du = jnp.concatenate(
+        [da] + [_apply_groups(a_ops[n - 1], da, G, R, cdtype, ((0,), (0,)))
+                for n in range(1, k)], axis=1)           # (ROWS, k*4H)
+    dh_ref[...] = _dot(du, w, ((1,), (1,)), cdtype)
+    dw_ref[...] += _dot(h_prev, du, ((0,), (0,)), cdtype)  # (H, k*4H)
+    dxg_ref[0] = da.astype(dxg_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def graph_lstm_scan(xg, a_ops, w, k: int, R: int, block_groups: int,
+                    with_c: bool = False):
+    """Fused graph-LSTM frame recurrence on slab-layout pre-activations.
+
+    :param xg: (L, ROWS, 4H) input-side gate pre-activations (gate order
+        i|f|c|o) with BOTH biases folded in (layout per :func:`to_slabs`).
+    :param a_ops: (k-1, R, R) Kronecker graph constants
+        (:func:`kron_cheb_ops`); pass a (0, R, R) array for k = 1 — which
+        makes this a plain dense LSTM scan (used by
+        :class:`models.rnn.HoistedLSTM`'s TPU path).
+    :param w: (H, k*4H) hidden-side weights, columns ordered
+        (cheb order n, then i|f|c|o within each n block).
+    :param with_c: also return the cell-state sequence (for final-carry
+        consumers); both outputs are differentiable.
+    :return: ys (L, ROWS, H) hidden states per frame, dtype of ``xg``
+        (``(ys, cs)`` when ``with_c``).
+    """
+    out, _ = _lstm_scan_fwd(xg, a_ops, w, k, R, block_groups, with_c)
+    return out
+
+
+def _lstm_scan_fwd(xg, a_ops, w, k, R, block_groups, with_c=False):
+    L, rows, _ = xg.shape
+    H = w.shape[0]
+    rb = block_groups * R
+    grid = (rows // rb, L)
+
+    def frame_spec(f):
+        return pl.BlockSpec((1, rb, f), lambda i, t: (t, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec((k - 1, R, R), lambda i, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM)] if k > 1 else []
+    const_specs += [pl.BlockSpec(w.shape, lambda i, t: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+    args = (xg, a_ops, w) if k > 1 else (xg, w)
+    ys, cs = pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, k=k, G=block_groups, R=R, H=H,
+                          cdtype=xg.dtype),
+        out_shape=(jax.ShapeDtypeStruct((L, rows, H), xg.dtype),
+                   jax.ShapeDtypeStruct((L, rows, H), xg.dtype)),
+        grid=grid,
+        in_specs=[frame_spec(4 * H)] + const_specs,
+        out_specs=(frame_spec(H), frame_spec(H)),
+        scratch_shapes=[pltpu.VMEM((rb, H), jnp.float32),
+                        pltpu.VMEM((rb, H), jnp.float32)],
+        interpret=_interpret(),
+    )(*args)
+    return (ys, cs) if with_c else ys, (xg, a_ops, w, ys, cs)
+
+
+def _lstm_scan_bwd(k, R, block_groups, with_c, res, ct):
+    xg, a_ops, w, ys, cs = res
+    dys, dcs = ct if with_c else (ct, None)
+    L, rows, f4 = xg.shape
+    H = w.shape[0]
+    rb = block_groups * R
+    grid = (rows // rb, L)
+
+    def rev_spec(f):
+        return pl.BlockSpec((1, rb, f), lambda i, t: (L - 1 - t, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def prev_spec(f):
+        return pl.BlockSpec(
+            (1, rb, f), lambda i, t: (jnp.maximum(L - 2 - t, 0), i, 0),
+            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec((k - 1, R, R), lambda i, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM)] if k > 1 else []
+    const_specs += [pl.BlockSpec(w.shape, lambda i, t: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+    args = (xg, ys, cs, cs, dys)
+    in_specs = [rev_spec(f4), prev_spec(H), prev_spec(H), rev_spec(H),
+                rev_spec(H)]
+    if with_c:
+        args += (dcs,)
+        in_specs.append(rev_spec(H))
+    args += (a_ops, w) if k > 1 else (w,)
+    dxg, dw = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, k=k, G=block_groups, R=R, H=H,
+                          L=L, cdtype=xg.dtype, with_dcs=with_c),
+        out_shape=(jax.ShapeDtypeStruct(xg.shape, xg.dtype),
+                   jax.ShapeDtypeStruct(w.shape, jnp.float32)),
+        grid=grid,
+        in_specs=in_specs + const_specs,
+        out_specs=(rev_spec(f4),
+                   pl.BlockSpec(w.shape, lambda i, t: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((rb, H), jnp.float32),
+                        pltpu.VMEM((rb, H), jnp.float32)],
+        interpret=_interpret(),
+    )(*args)
+    return dxg, jnp.zeros_like(a_ops), dw.astype(w.dtype)
+
+
+graph_lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
 def pick_block_groups(total_groups: int, target: int = 8) -> int:

@@ -111,3 +111,62 @@ def test_model_param_trees_unchanged():
     assert {"GRUCell_0", "GRUCell_1"} <= set(p["params"])
     assert set(p["params"]["GRUCell_0"]) == \
         {"hn", "hr", "hz", "in", "ir", "iz"}
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_hoisted_lstm_pallas_kernel_matches_xla(x, reverse):
+    """kernel="pallas" (fused graph_lstm_scan k=1, CPU interpret mode) must
+    reproduce the XLA scan path: outputs, final carry, and gradients. The
+    kernel reassociates the bias adds, so allclose rather than bit-equal."""
+    xla = HoistedLSTM(H, reverse=reverse, kernel="xla")
+    ker = HoistedLSTM(H, reverse=reverse, kernel="pallas")
+    p = xla.init(jax.random.PRNGKey(1), x)
+    carry_r, out_r = xla.apply(p, x)
+    carry_k, out_k = ker.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=0, atol=1e-6)
+    for a, b in zip(carry_r, carry_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-6)
+
+    gr = jax.grad(lambda pp, xx: jnp.sum(jnp.sin(xla.apply(pp, xx)[1])),
+                  argnums=(0, 1))(p, x)
+    gk = jax.grad(lambda pp, xx: jnp.sum(jnp.sin(ker.apply(pp, xx)[1])),
+                  argnums=(0, 1))(p, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5), gk, gr)
+
+
+def test_hoisted_lstm_pallas_final_carry_grads(x):
+    """Gradients THROUGH the final carry (both c and h legs) — exercises the
+    kernel's with_c output and its dcs cotangent input."""
+    xla = HoistedLSTM(H, kernel="xla")
+    ker = HoistedLSTM(H, kernel="pallas")
+    p = xla.init(jax.random.PRNGKey(1), x)
+
+    def loss(m):
+        def f(pp, xx):
+            (c, h), _ = m.apply(pp, xx)
+            return jnp.sum(jnp.sin(c)) + jnp.sum(jnp.cos(h))
+        return f
+
+    gr = jax.grad(loss(xla), argnums=(0, 1))(p, x)
+    gk = jax.grad(loss(ker), argnums=(0, 1))(p, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5), gk, gr)
+
+
+def test_hoisted_lstm_pallas_falls_back_with_initial_carry(x):
+    """An explicit initial carry routes to the XLA scan (the kernel only
+    models the zeros init) — results must still be exact."""
+    ker = HoistedLSTM(H, kernel="pallas")
+    p = ker.init(jax.random.PRNGKey(1), x)
+    c0 = (jax.random.normal(jax.random.PRNGKey(3), (B, H)),
+          jax.random.normal(jax.random.PRNGKey(4), (B, H)))
+    ref = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True)
+    _, out_r = ref.apply({"params": {"cell": p["params"]}}, x,
+                         initial_carry=c0)
+    _, out_k = ker.apply(p, x, initial_carry=c0)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_k))

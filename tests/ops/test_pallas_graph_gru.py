@@ -22,6 +22,7 @@ CASES = [
     ("DCRNN", dict(hidden_size=H)),                # k=2, normalized adjacency
     ("TGCN", dict(hidden_size=H)),                 # k=1 (no a_ops input)
     ("SpatialTemporalGNN", dict()),                # k=3, tiny H=3, 1 layer
+    ("GConvLSTM", dict(hidden_size=H)),            # LSTM cell, (h, c) carry
 ]
 
 
@@ -56,7 +57,7 @@ def test_param_trees_identical(name, kwargs):
             np.asarray(a), np.asarray(b)), params, p2)
 
 
-@pytest.mark.parametrize("name,kwargs", CASES[:1] + CASES[2:3])
+@pytest.mark.parametrize("name,kwargs", CASES[:1] + CASES[2:3] + CASES[4:])
 def test_backward_matches_autodiff(name, kwargs):
     xla, pallas, params, x = _pair(name, kwargs)
 
