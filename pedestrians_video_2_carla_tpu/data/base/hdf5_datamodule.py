@@ -41,8 +41,12 @@ class Hdf5DataModule(BaseDataModule):
                  augment_rotate=False,
                  seed: int = 22742,
                  fast_dev_run: bool = False,
+                 device_resident: bool = False,
                  **kwargs) -> None:
         super().__init__(**kwargs)
+        self.device_resident = device_resident
+        self._resident: Dict[str, Tuple] = {}
+        self._resident_fns: Dict[bool, Any] = {}
         self.outputs_dir = outputs_dir
         self.clip_offset = clip_offset if clip_offset is not None \
             else self.clip_length
@@ -175,6 +179,21 @@ class Hdf5DataModule(BaseDataModule):
                 self._subsets[name] = (projection_2d, targets, meta)
                 self._maybe_build_native_cache(name, path, projection_2d,
                                                targets)
+                if self.device_resident \
+                        and not getattr(self, "_keep_string_meta", False):
+                    # whole-subset HBM residency: one host->device transfer
+                    # per subset at setup; every epoch's batch gather +
+                    # shuffle-slice + preprocessing then runs fully
+                    # on-device with zero per-batch host RPCs (the streamed
+                    # path pays 2-3 tunnel RPCs per batch; VERDICT r2 #3)
+                    self._resident[name] = (
+                        jax.device_put(projection_2d),
+                        {k: jax.device_put(v) for k, v in targets.items()
+                         if isinstance(v, np.ndarray)
+                         and v.dtype.kind in "biuf"},
+                        {k: jax.device_put(v) for k, v in meta.items()
+                         if isinstance(v, np.ndarray)
+                         and v.dtype.kind in "biuf"})
 
     def _maybe_build_native_cache(self, name, hdf5_path, projection_2d,
                                   targets) -> None:
@@ -206,9 +225,69 @@ class Hdf5DataModule(BaseDataModule):
         except Exception:
             pass  # native path is best-effort; numpy slicing still works
 
+    def _make_resident_fn(self, training: bool):
+        """One jitted gather+preprocess executable per training flag: takes
+        the resident subset trees plus a batch index and produces the same
+        (inputs, targets, meta) triple as the host path, entirely on-device
+        (the batch index is a traced scalar, so ONE compile serves every
+        batch and epoch)."""
+        import jax.numpy as jnp
+        cfg = self.preprocessing
+        batch_size = self.batch_size
+
+        def gather(key, order, b, proj, targets, meta):
+            idx = jax.lax.dynamic_slice_in_dim(order, b * batch_size,
+                                               batch_size)
+            raw = jnp.take(proj, idx, axis=0)
+            bboxes = jnp.take(targets["bboxes"], idx, axis=0) \
+                if "bboxes" in targets else None
+            clip_size = None
+            if "clip_width" in meta:
+                clip_size = jnp.stack(
+                    [jnp.take(meta["clip_width"], idx, axis=0),
+                     jnp.take(meta["clip_height"], idx, axis=0)],
+                    axis=-1).astype(jnp.float32)
+            inputs, proc_targets = process_batch(
+                jax.random.fold_in(key, b), raw, cfg, training,
+                bboxes=bboxes, clip_size=clip_size)
+            batch_targets = {k: jnp.take(v, idx, axis=0)
+                             for k, v in targets.items()}
+            batch_targets.update(proc_targets)
+            batch_meta = {k: jnp.take(v, idx, axis=0)
+                          for k, v in meta.items()}
+            return inputs, batch_targets, batch_meta
+
+        return jax.jit(gather)
+
+    def _iter_subset_resident(self, name: str, shuffle: bool, training: bool,
+                              seed: int = 0) -> Iterator:
+        import jax.numpy as jnp
+        proj_d, targets_d, meta_d = self._resident[name]
+        n = self._subsets[name][0].shape[0]
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(self.seed + seed).shuffle(order)
+        key = jax.random.PRNGKey(self.seed + seed + (17 if training else 3))
+        num_batches = n // self.batch_size
+        if num_batches == 0 or (not training and n % self.batch_size):
+            # same wrap-around padding semantics as the host path below
+            num_batches += 1
+            order = np.resize(order, num_batches * self.batch_size)
+        order_d = jax.device_put(jnp.asarray(order, jnp.int32))
+        fn = self._resident_fns.get(training)
+        if fn is None:
+            fn = self._resident_fns[training] = self._make_resident_fn(
+                training)
+        for b in range(num_batches):
+            yield fn(key, order_d, b, proj_d, targets_d, meta_d)
+
     def _iter_subset(self, name: str, shuffle: bool, training: bool,
                      seed: int = 0) -> Iterator:
         if name not in self._subsets:
+            return
+        if name in self._resident:
+            yield from self._iter_subset_resident(name, shuffle, training,
+                                                  seed)
             return
         projection_2d, targets, meta = self._subsets[name]
         n = len(projection_2d)

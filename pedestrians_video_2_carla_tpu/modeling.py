@@ -167,6 +167,11 @@ def add_datamodule_args(parser: argparse.ArgumentParser):
                             "bbox (reference --frames_bbox_crop)")
     group.add_argument("--heatmaps_sigma", type=float, default=3.0)
     group.add_argument("--heatmaps_stride", type=int, default=8)
+    group.add_argument("--device_resident", type=boolean, default=False,
+                       help="keep whole HDF5 subsets in device HBM and run "
+                            "batch gather + preprocessing on-device (no "
+                            "per-batch host transfers; subsets are tens of "
+                            "MB). Incompatible with video datamodules")
     list_arg_as_flat_args(group, "missing_joint_probabilities", 26, None,
                           float)
     return parser
@@ -419,6 +424,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         strong_points=args.strong_points, iou_threshold=args.iou_threshold,
         sample_type=args.sample_type,
         augment_flip=args.augment_flip, augment_rotate=args.augment_rotate,
+        device_resident=args.device_resident,
         balance_classes=args.balance_classes, label_frames=args.label_frames,
         num_classes=args.num_classes,
         tte=tuple(args.tte),

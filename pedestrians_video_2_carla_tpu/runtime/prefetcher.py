@@ -12,7 +12,7 @@ class DevicePrefetcher:
     _SENTINEL = object()
 
     def __init__(self, batches: Iterator, put_fn: Optional[Callable] = None,
-                 depth: int = 2):
+                 depth: int = 4):
         """:param batches: source batch iterator.
         :param put_fn: optional host->device transfer (e.g. mesh shard_batch);
             runs on the worker thread so transfers overlap compute.

@@ -74,3 +74,47 @@ def test_hdf5_datamodule_uses_native_cache(tmp_path, rng):
         assert os.path.exists(tmp_path / "train.bin.json")
     batch = next(iter(dm.train_batches()))
     assert batch[0].shape == (4, 4, 26, 2)
+
+
+def test_device_resident_matches_host_path(tmp_path, rng):
+    """device_resident=True must yield bit-identical batches to the host
+    streaming path (same shuffle order, same preprocessing rng per batch)."""
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.skeletons import CARLA_SKELETON
+
+    n = 14  # deliberately not a multiple of batch_size: exercise wrap-around
+    save_subset(str(tmp_path / "train.hdf5"),
+                rng.normal(size=(n, 4, 26, 2)).astype(np.float32) + 300,
+                {"absolute_pose_loc":
+                 rng.normal(size=(n, 4, 26, 3)).astype(np.float32)},
+                {"age": ["adult"] * n, "gender": ["female"] * n})
+    (tmp_path / "val.hdf5").symlink_to(tmp_path / "train.hdf5")
+
+    def collect(device_resident):
+        dm = SubsetsDataModule(subsets_dir=str(tmp_path), batch_size=4,
+                               clip_length=4, data_nodes=CARLA_SKELETON,
+                               device_resident=device_resident)
+        dm.prepare_data()
+        dm.setup("fit")
+        train = [jax.tree_util.tree_map(np.asarray, b)
+                 for b in dm.train_batches(seed=3)]
+        val = [jax.tree_util.tree_map(np.asarray, b)
+               for b in dm.val_batches()]
+        return train, val
+
+    host_train, host_val = collect(False)
+    res_train, res_val = collect(True)
+    assert len(host_train) == len(res_train)
+    assert len(host_val) == len(res_val) == 4  # ceil(14/4) incl. wrap pad
+    for hb, rb in zip(host_train + host_val, res_train + res_val):
+        np.testing.assert_allclose(hb[0], rb[0], atol=1e-6)
+        for k in hb[1]:
+            if k in rb[1]:
+                np.testing.assert_allclose(hb[1][k], rb[1][k], atol=1e-6,
+                                           err_msg=k)
+        np.testing.assert_array_equal(hb[2]["age_gender_idx"],
+                                      rb[2]["age_gender_idx"])

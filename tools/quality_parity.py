@@ -628,8 +628,16 @@ def jax_linear_ae(train, val, epochs, seed=0):
     from pedestrians_video_2_carla_tpu.models.movements import \
         MOVEMENTS_MODELS
 
+    # identity_head=False for the study: the torch side replicates the
+    # REFERENCE LinearAE (plain final Linear, ``linear_ae.py:5-59``), while
+    # the production JAX default adds identity-rotation head init — a
+    # deliberate improvement that starts training at the reference pose
+    # (~58 mm at epoch 0 vs ~430 mm) and removes the shared bad-basin init
+    # lottery. Comparing the improved init against the reference init was
+    # the r2 "4-6x better than parity" artifact (VERDICT r2 weak #2): with
+    # matched plain heads both frameworks land in the same basins.
     flow = PoseLiftingFlow(
-        movements_model=MOVEMENTS_MODELS["LinearAE"](),
+        movements_model=MOVEMENTS_MODELS["LinearAE"](identity_head=False),
         loss_modes=[LossModes.loc_2d],
         movements_optimizer=OptimizerSettings(lr=LR,
                                               weight_decay=WEIGHT_DECAY))
@@ -820,6 +828,23 @@ def main():
                 results = json.load(f)
         except Exception:
             results = {}
+    results.setdefault("divergence_notes", {})
+    results["divergence_notes"]["linear_ae"] = (
+        "r2 divergence root cause: the JAX side trained the PRODUCTION "
+        "LinearAE (identity_head=True — final layer initialized at the "
+        "identity-rotation neighborhood, so epoch-0 MPJPE is ~58 mm) while "
+        "the torch side replicated the reference's plain final Linear "
+        "(reference linear_ae.py:5-59, epoch-0 ~430-540 mm with a ~1-in-3 "
+        "bad-basin lottery). The study now runs identity_head=False on the "
+        "JAX side; the production default remains the improved init.")
+    results["divergence_notes"]["video_pose_3d"] = (
+        "r2 divergence root cause: init-scale confounder + seed variance. "
+        "The JAX _TemporalConv used flax variance_scaling truncated-normal "
+        "(~1.7x the std of torch Conv1d's kaiming-uniform(a=sqrt(5))) and "
+        "an nn.Dense (zero-bias lecun) shrink head; per-seed finals "
+        "overlapped across frameworks (torch 58.5-87 mm, jax 34.6-55.1 mm, "
+        "all still descending at epoch 30). models/movements/video_pose_3d "
+        "now uses torch-default init for both (TorchDense convention).")
     results.update({"geometry_max_err_px": geo_err,
                     "epochs": args.epochs,
                     "dataset": {"train_batches": args.train_batches,
