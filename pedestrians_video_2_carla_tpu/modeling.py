@@ -54,6 +54,11 @@ def add_program_args(parser: argparse.ArgumentParser):
     parser.add_argument("--logs_dir", default=None)
     parser.add_argument("--run_name", default=None)
     parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--pretrained_backbone_path", default=None,
+                        help="local torchvision ResNet-50/101 state_dict "
+                             "(.pth) injected into the pose-estimation "
+                             "backbone (reference unipose/overrides.py:33-46"
+                             " pretrained=True injection; no network here)")
     parser.add_argument("--prefer_tensorboard", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler device trace of the fit "
@@ -502,6 +507,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     dm.setup(args.mode)
 
     results: Dict[str, Any] = {"trainer": trainer, "flow": flow, "dm": dm}
+    if args.pretrained_backbone_path:
+        # torchvision ResNet pretrained-weight injection into the UniPose/P0
+        # backbone (reference ``unipose/overrides.py:33-46``); applied before
+        # any checkpoint restore so a full checkpoint wins
+        trainer.restore_pretrained_backbone(args.pretrained_backbone_path)
     if args.ckpt_path:
         # --ckpt_path is honored in EVERY mode (reference resolves it for
         # train resume, tune weight-reload, test/predict evaluation alike;

@@ -203,6 +203,42 @@ def import_pose_former(state_dict: Dict[str, np.ndarray],
     return params
 
 
+def graft_resnet_backbone(state_dict: Dict[str, np.ndarray],
+                          params: Dict[str, Any],
+                          batch_stats: Dict[str, Any],
+                          module_name: str = "ResNet_0"
+                          ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Inject torchvision ResNet-50/101 pretrained weights into an
+    initialized UniPoseLSTM/P0 variables tree (the reference monkey-patches
+    torchvision pretrained weights into the UniPose backbone,
+    ``modules/pose_estimation/unipose/overrides.py:33-46``).
+
+    The first conv is special-cased: UniPose feeds RGB + the centermap
+    channel (4 input channels), so the torchvision (7,7,3,64) kernel fills
+    the RGB slice and the extra-channel slice keeps its init (the reference
+    override rebuilds conv1 at in_channels=4 the same way). Returns new
+    (params, batch_stats) trees with the backbone subtree replaced."""
+    from .backbones.resnet import import_torchvision_resnet
+
+    stage_sizes = (3, 4, 23, 3) if any(
+        k.startswith("layer3.10.") for k in state_dict) else (3, 4, 6, 3)
+    bb_params, bb_stats = import_torchvision_resnet(state_dict, stage_sizes)
+
+    target_conv1 = params[module_name]["conv1"]["kernel"]
+    tv_conv1 = bb_params["conv1"]["kernel"]
+    in_ch = target_conv1.shape[2]
+    if in_ch != tv_conv1.shape[2]:
+        merged = np.array(target_conv1)
+        merged[:, :, :tv_conv1.shape[2], :] = tv_conv1
+        bb_params["conv1"]["kernel"] = merged
+
+    new_params = dict(params)
+    new_params[module_name] = bb_params
+    new_stats = dict(batch_stats or {})
+    new_stats[module_name] = bb_stats
+    return new_params, new_stats
+
+
 IMPORTERS = {
     "LinearAE": import_linear_ae,
     "Seq2SeqEmbeddings": import_seq2seq_embeddings,

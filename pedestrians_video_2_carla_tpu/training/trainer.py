@@ -386,6 +386,32 @@ class Trainer:
         self.state = shard_state(self.mesh, self.state.replace(
             params=new_params, mutables=new_mutables))
 
+    def restore_pretrained_backbone(self, path: str,
+                                    module_name: str = "ResNet_0"):
+        """Inject torchvision ResNet pretrained weights into the
+        pose-estimation model's backbone (reference
+        ``modules/pose_estimation/unipose/overrides.py:33-46`` — torchvision
+        ``resnet50/101(pretrained=True)`` state_dict into the UniPose
+        backbone). ``path`` is a local torch ``.pth`` state_dict (no network
+        here; download once elsewhere)."""
+        from ..models.torch_import import (graft_resnet_backbone,
+                                           load_torch_checkpoint)
+        sd = load_torch_checkpoint(path)
+        if self.state is None:
+            self._init_state()
+            self._build_steps()
+        params = dict(self.state.params)
+        mutables = dict(self.state.mutables)
+        mov_mut = dict(mutables.get("movements") or {})
+        new_mov_params, new_bn_stats = graft_resnet_backbone(
+            sd, params["movements"], mov_mut.get("batch_stats"),
+            module_name=module_name)
+        params["movements"] = new_mov_params
+        mov_mut["batch_stats"] = new_bn_stats
+        mutables["movements"] = mov_mut
+        self.state = shard_state(self.mesh, self.state.replace(
+            params=params, mutables=mutables))
+
     def restore(self, path: str, weights_only: bool = False):
         """Load a checkpoint; ``weights_only`` keeps a fresh optimizer state
         (reference 'tune' mode reloads weights only, ``modeling.py:281-285``)."""
