@@ -60,6 +60,11 @@ def add_program_args(parser: argparse.ArgumentParser):
                              "backbone (reference unipose/overrides.py:33-46"
                              " pretrained=True injection; no network here)")
     parser.add_argument("--prefer_tensorboard", action="store_true")
+    parser.add_argument("--logger", default="auto",
+                        choices=["auto", "tensorboard", "wandb"],
+                        help="'wandb' also writes a W&B-format offline run "
+                             "directory (zero-egress replacement for the "
+                             "reference's WandbLogger)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler device trace of the fit "
                              "loop under {log_dir}/trace and print host-side "
@@ -481,6 +486,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
         run_name=run_name,
         detect_anomaly=args.detect_anomaly,
+        logger=args.logger,
     )
     video_logger = None
     renderers = [r for r in (args.renderers or []) if r != "none"]

@@ -80,3 +80,83 @@ def _jsonable(v):
         return v
     except TypeError:
         return str(v)
+
+
+class WandbOfflineLogger(MetricsLogger):
+    """W&B-compatible offline run-directory writer (no network, no wandb
+    package). The reference's primary logger is ``WandbLogger`` (entity
+    ``carla-pedestrians``, project = flow name; ``modeling.py:194-224``); in
+    this zero-egress environment ``--logger wandb`` writes the W&B run-dir
+    *files* layout locally instead:
+
+        {logs_dir}/wandb/offline-run-{YYYYMMDD_HHMMSS}-{run_id}/files/
+            config.yaml           # wandb config format ({key: {value: ...}})
+            wandb-metadata.json   # program/args/host metadata
+            wandb-summary.json    # latest value per metric (wandb summary)
+            wandb-history.jsonl   # per-step history rows (_step/_timestamp)
+
+    These are the documented file formats the W&B UI/importers consume; the
+    binary ``.wandb`` transaction log requires the wandb package and is the
+    documented gap of this adapter (``wandb sync`` of these dirs needs a
+    one-line ``wandb.init(); wandb.log(row)`` replay of the history file,
+    which the real package can do wherever it IS installed). Scalars/hparams
+    also go through the normal jsonl/TB channels (superclass)."""
+
+    def __init__(self, log_dir: str, enabled: bool = True,
+                 run_id: str = "run", project: str = "pv2c",
+                 entity: str = "carla-pedestrians", argv=None):
+        super().__init__(log_dir, enabled=enabled)
+        self._summary: Dict[str, Any] = {}
+        self._files = None
+        if not enabled:
+            return
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        self._files = os.path.join(
+            log_dir, "wandb", f"offline-run-{stamp}-{run_id}", "files")
+        os.makedirs(self._files, exist_ok=True)
+        meta = {
+            "run_id": run_id, "project": project, "entity": entity,
+            "program": argv[0] if argv else "pedestrians_video_2_carla_tpu",
+            "args": list(argv[1:]) if argv else [],
+            "startedAt": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "mode": "offline",
+        }
+        with open(os.path.join(self._files, "wandb-metadata.json"),
+                  "w") as f:
+            json.dump(meta, f, indent=1)
+        self._history = open(
+            os.path.join(self._files, "wandb-history.jsonl"), "a")
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        super().log_scalars(step, scalars)
+        if self._files is None:
+            return
+        row = {"_step": step, "_timestamp": time.time(),
+               **{k: v for k, v in scalars.items()
+                  if isinstance(v, (int, float))}}
+        self._history.write(json.dumps(row) + "\n")
+        self._history.flush()
+        self._summary.update(row)
+        with open(os.path.join(self._files, "wandb-summary.json"),
+                  "w") as f:
+            json.dump(self._summary, f)
+
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        super().log_hparams(hparams)
+        if self._files is None:
+            return
+        import yaml
+        path = os.path.join(self._files, "config.yaml")
+        config = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                config = yaml.safe_load(f) or {}
+        config.update({k: {"value": _jsonable(v)}
+                       for k, v in hparams.items()})
+        with open(path, "w") as f:
+            yaml.safe_dump(config, f)
+
+    def close(self):
+        if self._files is not None:
+            self._history.close()
+        super().close()

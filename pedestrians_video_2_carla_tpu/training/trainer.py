@@ -10,6 +10,7 @@ mesh's ``data`` axis.
 """
 import math
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -44,6 +45,10 @@ class TrainerConfig:
     #: param leaves are non-finite and abort the run (a masked loss can stay
     #: finite-looking while params are already NaN — see CLAUDE.md)
     detect_anomaly: bool = False
+    #: "auto"/"tensorboard" = jsonl+TB; "wandb" = additionally write a W&B
+    #: offline run directory (reference's primary logger is WandbLogger,
+    #: ``modeling.py:194-224``; see loggers.WandbOfflineLogger)
+    logger: str = "auto"
 
 
 class Trainer:
@@ -65,8 +70,14 @@ class Trainer:
         self.log_dir = os.path.join(config.logs_dir, config.run_name)
         if self.is_main_process:
             os.makedirs(self.log_dir, exist_ok=True)
-        self.logger = MetricsLogger(self.log_dir,
-                                    enabled=self.is_main_process)
+        if config.logger == "wandb":
+            from .loggers import WandbOfflineLogger
+            self.logger = WandbOfflineLogger(
+                self.log_dir, enabled=self.is_main_process,
+                run_id=config.run_name, argv=sys.argv)
+        else:
+            self.logger = MetricsLogger(self.log_dir,
+                                        enabled=self.is_main_process)
         self.checkpoints = CheckpointManager(
             os.path.join(self.log_dir, "checkpoints"),
             monitor=config.monitor, mode=config.monitor_mode,

@@ -760,3 +760,36 @@ def test_classification_bf16_precision():
     leaves = jax.tree_util.tree_leaves(state.params)
     assert leaves and all(l.dtype == jnp.float32 for l in leaves)
     assert np.isfinite(results["val_metrics"]["val_loss/primary"])
+
+
+def test_wandb_offline_logger(tmp_path):
+    """--logger wandb writes a W&B-format offline run dir (reference's
+    primary WandbLogger, ``modeling.py:194-224``, zero-egress adapter)."""
+    import glob
+    import json
+
+    import yaml
+
+    results = main(BASE[:-1] + [f"--root_dir={tmp_path}",
+                                "--flow=pose_lifting",
+                                "--movements_model_name=Linear",
+                                "--loss_modes", "loc_2d",
+                                "--logger", "wandb",
+                                "--run_name", "wandb_smoke"])
+    files_dirs = glob.glob(
+        str(tmp_path / "logs" / "pose_lifting" / "wandb_smoke" / "wandb"
+            / "offline-run-*-wandb_smoke" / "files"))
+    assert len(files_dirs) == 1
+    files = files_dirs[0]
+    with open(f"{files}/wandb-summary.json") as f:
+        summary = json.load(f)
+    assert "val_loss/primary" in summary and "_step" in summary
+    history = [json.loads(line)
+               for line in open(f"{files}/wandb-history.jsonl")]
+    assert history and history[-1]["_step"] >= 1
+    with open(f"{files}/config.yaml") as f:
+        config = yaml.safe_load(f)
+    assert config["batch_size"]["value"] == 4
+    with open(f"{files}/wandb-metadata.json") as f:
+        assert json.load(f)["mode"] == "offline"
+    assert results["val_metrics"]["val_loss/primary"] >= 0
