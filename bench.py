@@ -820,13 +820,15 @@ def main():
                       min_budget_s=150)
             _run_task("videopose3d", lambda: task_videopose3d("32"),
                       min_budget_s=120)
+            # the two input-pipeline numbers (VERDICT r2 #3) outrank the
+            # remaining configs: they are the production-throughput story
+            _run_task("resident_pipeline", task_resident_pipeline,
+                      min_budget_s=120)
+            _run_task("host_pipeline", task_host_pipeline, min_budget_s=120)
             _run_task("pallas_micro", task_pallas_micro, min_budget_s=90)
             _run_task("seq2seq_ae", lambda: task_seq2seq("32"),
                       min_budget_s=120)
             _run_task("classification", task_classification, min_budget_s=150)
-            _run_task("resident_pipeline", task_resident_pipeline,
-                      min_budget_s=150)
-            _run_task("host_pipeline", task_host_pipeline, min_budget_s=150)
             _run_task("serving", task_serving, min_budget_s=120)
             # lower-priority precision variants only with budget to spare
             _run_task("poseformer_fp32", lambda: task_poseformer("32"),

@@ -20,6 +20,14 @@ class PoseEstimationFlow(AutoencoderFlow):
     def get_default_models(cls):
         return {"movements": POSE_ESTIMATION_MODELS["UniPoseLSTM"]}
 
+    def initial_preds(self, inputs, targets):
+        """No inputs-as-prediction baseline: pose-estimation inputs are video
+        frames (B, L, H, W, 3), not keypoints (reference's initial metrics
+        only exist on the keypoint flows, ``flow/base.py:258-298``)."""
+        if inputs.ndim == 5:
+            return {}
+        return super().initial_preds(inputs, targets)
+
     def _inner_step(self, params, mutables, batch, training, rngs):
         inputs, targets, meta = batch
         out, mov_mutables = self._apply_model(

