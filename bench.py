@@ -659,7 +659,11 @@ def task_host_pipeline(num_clips=16384, batch=BATCH, epochs=2):
             nonlocal state
             n = 0
             logs = None
-            for b in DevicePrefetcher(dm.train_batches(seed)):
+            # put_fn moves the numpy leaves to the device on the worker
+            # thread, overlapping the transfer RPCs with device compute
+            # (the Trainer's production loop does the same via shard_batch)
+            for b in DevicePrefetcher(dm.train_batches(seed),
+                                      put_fn=jax.device_put):
                 state, logs = train_step(state, b, rng)
                 n += batch
             jax.block_until_ready(logs)
