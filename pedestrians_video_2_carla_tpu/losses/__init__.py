@@ -115,7 +115,11 @@ def loss_cum_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
 
     pose_inputs = ctx.sliced.get("pose_inputs")
     if pose_inputs is None or isinstance(pose_inputs, tuple) \
-            or ctx.targets.get("pose_changes") is None:
+            or ctx.targets.get("pose_changes") is None \
+            or pose_inputs.shape[-2:] != (3, 3):
+        # absolute_loc/pose_2d outputs are not rotation matrices: the loss is
+        # statically unavailable, like the reference's unsupported
+        # loss x output-type combos (tests/fixtures/flow.py:27-59 skip matrix)
         return None
     # _compose9(a, b) = b @ a, so swap to keep the earlier-frame @ later-frame
     # (right-multiplied) order of the reference
@@ -133,7 +137,8 @@ def loss_pose_changes(ctx: LossContext) -> Optional[jnp.ndarray]:
     ``loss/pose_changes.py:7-28``)."""
     pose_inputs = ctx.sliced.get("pose_inputs")
     if pose_inputs is None or isinstance(pose_inputs, tuple) \
-            or ctx.targets.get("pose_changes") is None:
+            or ctx.targets.get("pose_changes") is None \
+            or pose_inputs.shape[-2:] != (3, 3):
         return None
     return jnp.sum((pose_inputs - ctx.targets["pose_changes"]) ** 2)
 

@@ -106,17 +106,20 @@ def _probs_lanes(qkv, num_heads, T, BB):
     return probs
 
 
-def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None):
+def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None, probs=None):
     """Head-batched attention on a (3D, T*BB) slab whose q/k/v rows are
     (dim, head)-interleaved (row = d*H + h, so the head axis is a sublane
     regroup). Returns (o (D, T*BB), None); all work is lane-sliced (see
     :func:`_probs_lanes`). ``o_ref``: optional (D, T*BB) VMEM scratch —
     output columns are written imperatively so Mosaic's register allocator
-    never holds T slab-sized columns live at once."""
+    never holds T slab-sized columns live at once. ``probs``: optional
+    precomputed :func:`_probs_lanes` output (the attention backward shares
+    one probs computation between its fwd recompute and the grad pass)."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
-    probs = _probs_lanes(qkv, num_heads, T, BB)
+    if probs is None:
+        probs = _probs_lanes(qkv, num_heads, T, BB)
     f32 = jnp.float32
     cols = []
     for tq in range(T):
@@ -135,17 +138,18 @@ def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None):
     return o_ref[:].astype(f32), None
 
 
-def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None):
+def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None, probs=None):
     """Reverse of :func:`_attn_fwd_hb`: do (D, T*BB) fp32 -> dqkv
-    (3D, T*BB), probabilities recomputed tile-wise. Same lane-sliced
-    structure as the forward; ``dqkv_ref``: optional (3D, T*BB) VMEM
-    scratch, written column-by-column."""
+    (3D, T*BB), probabilities recomputed tile-wise unless ``probs`` is
+    given. Same lane-sliced structure as the forward; ``dqkv_ref``:
+    optional (3D, T*BB) VMEM scratch, written column-by-column."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
     scale = float(HD) ** -0.5
     f32 = jnp.float32
-    probs = _probs_lanes(qkv, num_heads, T, BB)
+    if probs is None:
+        probs = _probs_lanes(qkv, num_heads, T, BB)
 
     def h3(x):  # (D, BB) -> (HD, H, BB) sublane regroup (free)
         return x.reshape(HD, H, BB)
@@ -257,17 +261,24 @@ def _dots(cdtype):
     return dot_dx, dot_dw
 
 
-def _attn_half_fwd(x, wd, num_heads, T, BB, cdtype, o_ref=None):
-    """x (D, M) fp32 -> (x2 fp32, residuals (xh1, inv1, y1, qkv3, o))."""
+def _attn_half_fwd(x, wd, num_heads, T, BB, cdtype, o_ref=None,
+                   want_probs=False):
+    """x (D, M) fp32 -> (x2 fp32, residuals (xh1, inv1, y1, qkv3, o[, probs])).
+    ``want_probs`` appends the softmax tiles to the residuals so the
+    backward kernel computes :func:`_probs_lanes` exactly once."""
     xh1, inv1, y1 = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
     qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1, cdtype)   # (3D, M) 2-D
     # residuals held in the compute dtype: they are only ever dot operands
     # (cast to cdtype anyway) or re-upcast pointwise — halves the backward
     # kernel's live VMEM under bf16 AMP
     qkv = qkv.astype(cdtype)
-    o, _ = _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=o_ref)
+    probs = _probs_lanes(qkv, num_heads, T, BB)
+    o, _ = _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=o_ref, probs=probs)
     a = _dense(wd["proj_w"], wd["proj_b"], o, cdtype)
-    return x + a, (xh1, inv1, y1.astype(cdtype), qkv, o)
+    res = (xh1, inv1, y1.astype(cdtype), qkv, o)
+    if want_probs:
+        res = res + (probs,)
+    return x + a, res
 
 
 def _mlp_half_fwd(x2, wd, cdtype):
@@ -353,12 +364,13 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
 
     wd = _wd_attn(w_refs)
     x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    _, (xh1, inv1, y1, qkv, o) = _attn_half_fwd(
-        x, wd, num_heads, T, BB, cdtype, o_ref=o_scr)
+    _, (xh1, inv1, y1, qkv, o, probs) = _attn_half_fwd(
+        x, wd, num_heads, T, BB, cdtype, o_ref=o_scr, want_probs=True)
     da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
     do = dot_dx(wd["proj_w"], da)
     dW = {"proj_w": dot_dw(o, da), "proj_b": jnp.sum(da, axis=1)}
-    dqkv = _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=dqkv_scr)
+    dqkv = _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=dqkv_scr,
+                        probs=probs)
     dy1 = dot_dx(wd["qkv_w"], dqkv)
     dW["qkv_w"] = dot_dw(y1, dqkv)
     dW["qkv_b"] = jnp.sum(dqkv, axis=1)

@@ -186,3 +186,28 @@ def test_cross_skeleton_loss_uses_common_joints(rng):
                       mask_missing_joints=False)
     losses = calculate_losses([LossModes.loc_2d], [LossModes.loc_2d], ctx)
     assert float(losses["loc_2d"]) > 0
+
+
+def test_rotation_losses_unavailable_for_location_outputs(rng):
+    """cum_pose_changes / pose_changes must statically declare themselves
+    unavailable when pose_inputs are locations (absolute_loc models like
+    PoseFormer), not crash on shape mismatch (r3 regression: the reference's
+    support matrix skips these combos, tests/fixtures/flow.py:27-59)."""
+    from pedestrians_video_2_carla_tpu.losses import (loss_cum_pose_changes,
+                                                      loss_pose_changes)
+    locs = jnp.asarray(rng.normal(size=(2, 8, 26, 3)).astype(np.float32))
+    changes = jnp.asarray(
+        np.broadcast_to(np.eye(3, dtype=np.float32), (2, 8, 26, 3, 3)))
+    ctx = LossContext(input_nodes=CARLA_SKELETON,
+                      output_nodes=CARLA_SKELETON,
+                      sliced={"pose_inputs": locs},
+                      targets={"pose_changes": changes})
+    assert loss_cum_pose_changes(ctx) is None
+    assert loss_pose_changes(ctx) is None
+    # and still available for genuine rotation-matrix outputs
+    ctx_rot = LossContext(input_nodes=CARLA_SKELETON,
+                          output_nodes=CARLA_SKELETON,
+                          sliced={"pose_inputs": changes},
+                          targets={"pose_changes": changes})
+    assert float(loss_cum_pose_changes(ctx_rot)) == 0.0
+    assert float(loss_pose_changes(ctx_rot)) == 0.0
