@@ -301,16 +301,19 @@ class PoseFormer(MovementsModel):
                     "the fused blocks; train with drop_rate=0/"
                     "attn_drop_rate=0 or temporal_kernel='xla'/'auto'")
             from ...ops.pallas.fused_temporal_transformer import \
-                fused_temporal_block
+                fused_temporal_stack
             hidden_t = int(frame_dim * self.mlp_ratio)
+            weights_list = []
             for i in range(self.depth):
                 ln1, qkv, proj, ln2, fc1, fc2 = _BlockParams(
                     frame_dim, hidden_t, name=f"temporal_block_{i}")()
                 flat = (ln1[0], ln1[1], qkv[0], qkv[1], proj[0], proj[1],
                         ln2[0], ln2[1], fc1[0], fc1[1], fc2[0], fc2[1])
-                flat = jax.tree_util.tree_map(
-                    lambda w: w.astype(t.dtype), flat)
-                t = fused_temporal_block(t, flat, self.num_heads)
+                weights_list.append(jax.tree_util.tree_map(
+                    lambda w: w.astype(t.dtype), flat))
+            # slab-resident stack: one (N,T,D)<->(D,T,Np) layout round-trip
+            # for the whole depth instead of one per block per pass
+            t = fused_temporal_stack(t, weights_list, self.num_heads)
         else:
             for i in range(self.depth):
                 t = Block(frame_dim, self.num_heads, self.mlp_ratio,

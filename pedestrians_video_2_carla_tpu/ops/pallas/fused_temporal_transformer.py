@@ -60,6 +60,14 @@ from .fused_spatial_transformer import (_block_fwd, _dense, _dgelu, _gelu,
 #: backward halves; measured fwd 26.1 ms @128 -> 24.6 ms @256).
 BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 256))
 BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 128))
+#: the two backward halves are separate pallas calls with different VMEM
+#: live sets, so they take independent widths; defaults = measured winners
+#: (mlp-half fits 256 and gains, attn-half's dqkv scratch + fp32 qkv-grad
+#: accumulators exceed VMEM at 256)
+BLOCK_N_BWD_MLP = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_MLP",
+                                     2 * BLOCK_N_BWD))
+BLOCK_N_BWD_ATTN = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN",
+                                      BLOCK_N_BWD))
 
 #: per-block weight-tuple layout (all single-depth, flat):
 #: (ln1_s (D,), ln1_b (D,), qkv_w (D,3D), qkv_b (3D,), proj_w (D,D),
@@ -395,15 +403,15 @@ def _block_n(n, block):
 _COMPILER = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
 
-def _fwd_impl(x, wp, num_heads, save_x2=False):
-    N, T, D = x.shape
-    bn = _block_n(N, BLOCK_N_FWD)
-    xt, Np = _prep(x, bn)
+def _fwd_impl_slab(xt, wp, num_heads, save_x2=False):
+    """Forward on an already-padded (D, T, Np) slab; returns slab(s)."""
+    D, T, Np = xt.shape
+    bn = _block_n(Np, BLOCK_N_FWD)
     wl = _lift(wp)
-    out_shape = [jax.ShapeDtypeStruct((D, T, Np), x.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((D, T, Np), xt.dtype)]
     out_specs = [_x_spec(D, T, bn)]
     if save_x2:
-        out_shape.append(jax.ShapeDtypeStruct((D, T, Np), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((D, T, Np), xt.dtype))
         out_specs.append(_x_spec(D, T, bn))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, save_x2=save_x2),
@@ -411,37 +419,46 @@ def _fwd_impl(x, wp, num_heads, save_x2=False):
         grid=(Np // bn,),
         in_specs=[_x_spec(D, T, bn)] + [_w_spec(w) for w in wl],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((D, T * bn), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((D, T * bn), xt.dtype)],
         compiler_params=_COMPILER,
         interpret=jax.default_backend() != "tpu",
     )(xt, *wl)
     outs = outs if isinstance(outs, (list, tuple)) else [outs]
-    y = jnp.transpose(outs[0], (2, 1, 0))[:N]
+    return (outs[0], outs[1]) if save_x2 else outs[0]
+
+
+def _fwd_impl(x, wp, num_heads, save_x2=False):
+    N, T, D = x.shape
+    bn = _block_n(N, BLOCK_N_FWD)
+    xt, Np = _prep(x, bn)
+    outs = _fwd_impl_slab(xt, wp, num_heads, save_x2=save_x2)
     if save_x2:
-        return y, jnp.transpose(outs[1], (2, 1, 0))[:N]
-    return y
+        return (jnp.transpose(outs[0], (2, 1, 0))[:N],
+                jnp.transpose(outs[1], (2, 1, 0))[:N])
+    return jnp.transpose(outs, (2, 1, 0))[:N]
 
 
-def _bwd_impl(x, x2, wp, g, num_heads):
-    """Two pallas calls — MLP half then attention half. One fused kernel
+def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
+    """Backward on already-padded (D, T, Np) slabs; returns (dx slab, dws).
+
+    Two pallas calls — MLP half then attention half. One fused kernel
     for the whole block backward spilled ~130 MB of vregs at PoseFormer
     shapes (the recompute + reverse dataflow keeps too many slab-sized
     values live for Mosaic's register allocator); each half alone fits
     comfortably, and the forward saves x2 so neither half recomputes the
     other."""
-    N, T, D = x.shape
-    bn = _block_n(N, BLOCK_N_BWD)
-    xt, Np = _prep(x, bn)
-    x2t, _ = _prep(x2, bn)
-    gt, _ = _prep(g, bn)
+    D, T, Np = xt.shape
+    bn_mlp = _block_n(Np, BLOCK_N_BWD_MLP)
+    bn_attn = _block_n(Np, BLOCK_N_BWD_ATTN)
     wl = _lift(wp)
     wl_attn, wl_mlp = wl[:6], wl[6:]
 
-    def half(kernel, x_in, w6, g_in, extra_scratch):
+    def half(kernel, x_in, w6, g_in, extra_scratch, bn):
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w6]
         return pl.pallas_call(
             functools.partial(kernel, num_heads=num_heads),
-            out_shape=[jax.ShapeDtypeStruct((D, T, Np), x.dtype)] + dw_shapes,
+            out_shape=[jax.ShapeDtypeStruct((D, T, Np), xt.dtype)]
+            + dw_shapes,
             grid=(Np // bn,),
             in_specs=[_x_spec(D, T, bn)] + [_w_spec(w) for w in w6]
             + [_x_spec(D, T, bn)],
@@ -451,14 +468,24 @@ def _bwd_impl(x, x2, wp, g, num_heads):
             interpret=jax.default_backend() != "tpu",
         )(x_in, *w6, g_in)
 
-    dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [])
+    dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [], bn_mlp)
     dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
-                        [pltpu.VMEM((D, T * bn), x.dtype),
-                         pltpu.VMEM((3 * D, T * bn), x.dtype)])
-    dx = jnp.transpose(dx, (2, 1, 0))[:N]
+                        [pltpu.VMEM((D, T * bn_attn), xt.dtype),
+                         pltpu.VMEM((3 * D, T * bn_attn), xt.dtype)],
+                        bn_attn)
     dws = list(dw_attn) + list(dw_mlp)
     return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
                      for dw, w in zip(dws, wp))
+
+
+def _bwd_impl(x, x2, wp, g, num_heads):
+    N, T, D = x.shape
+    bn = _block_n(N, max(BLOCK_N_BWD_MLP, BLOCK_N_BWD_ATTN))
+    xt, Np = _prep(x, bn)
+    x2t, _ = _prep(x2, bn)
+    gt, _ = _prep(g, bn)
+    dx, dws = _bwd_impl_slab(xt, x2t, wp, gt, num_heads)
+    return jnp.transpose(dx, (2, 1, 0))[:N], dws
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -477,6 +504,29 @@ def _vjp_bwd(num_heads, residuals, g):
 
 
 _fused_block_p.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_block_slab_p(xt, wp, num_heads):
+    """Slab-resident block: (D, T, Np) in, (D, T, Np) out — the stack entry
+    point keeps activations in kernel layout across blocks so the
+    (N, T, D) <-> (D, T, Np) transposes are paid once per STACK, not once
+    per block per direction per pass (the r3 probe prices the per-block
+    round-trips at several ms of pure relayout)."""
+    return _fwd_impl_slab(xt, wp, num_heads)
+
+
+def _vjp_fwd_slab(xt, wp, num_heads):
+    y, x2 = _fwd_impl_slab(xt, wp, num_heads, save_x2=True)
+    return y, (xt, x2, wp)
+
+
+def _vjp_bwd_slab(num_heads, residuals, g):
+    xt, x2, wp = residuals
+    return _bwd_impl_slab(xt, x2, wp, g, num_heads)
+
+
+_fused_block_slab_p.defvjp(_vjp_fwd_slab, _vjp_bwd_slab)
 
 
 def _permute(weights, num_heads):
@@ -504,6 +554,23 @@ def fused_temporal_block(x, weights, num_heads):
     caller). Apply depth times for a stack; the final LayerNorm stays a
     plain flax module (one cheap XLA op)."""
     return _fused_block_p(x, _permute(weights, num_heads), num_heads)
+
+
+def fused_temporal_stack(x, weights_list, num_heads):
+    """A whole stack of fused blocks with ONE layout round-trip: transpose/
+    pad (N, T, D) -> (D, T, Np) once, run every block slab-to-slab, and
+    transpose back once. Numerically identical to applying
+    :func:`fused_temporal_block` per block (the per-block path transposes
+    back and forth between every pair of blocks — and for x/x2/g again in
+    the backward). ``weights_list``: one 12-tuple per block."""
+    N = x.shape[0]
+    # pad once to a multiple every fwd/bwd block width divides
+    bn = max(_block_n(N, BLOCK_N_FWD), _block_n(N, BLOCK_N_BWD_MLP),
+             _block_n(N, BLOCK_N_BWD_ATTN))
+    xt, _ = _prep(x, bn)
+    for wp in weights_list:
+        xt = _fused_block_slab_p(xt, _permute(wp, num_heads), num_heads)
+    return jnp.transpose(xt, (2, 1, 0))[:N]
 
 
 def temporal_block_reference(x, weights, num_heads):

@@ -136,3 +136,42 @@ def test_poseformer_pallas_temporal_rejects_training_dropout():
     x = jnp.zeros((2, 9, 26, 2), jnp.float32)
     with pytest.raises(ValueError, match="dropout"):
         m.init(jax.random.PRNGKey(0), x, training=True)
+
+
+def test_fused_stack_matches_per_block(block_setup):
+    """fused_temporal_stack (slab-resident, one layout round-trip) must be
+    numerically identical to composing fused_temporal_block per block —
+    forward AND gradients (r3: the stack entry point skips per-block
+    transposes)."""
+    from pedestrians_video_2_carla_tpu.ops.pallas.fused_temporal_transformer \
+        import fused_temporal_stack
+    x, m, params, weights = block_setup
+    k = jax.random.PRNGKey(3)
+    w2 = jax.tree_util.tree_map(
+        lambda w: w + 0.01 * jax.random.normal(k, w.shape, w.dtype), weights)
+    wl = [weights, w2]
+
+    def per_block(x, wl):
+        for wp in wl:
+            x = fused_temporal_block(x, wp, H)
+        return x
+
+    ref = per_block(x, wl)
+    out = fused_temporal_stack(x, wl, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+    def loss_stack(x, wl):
+        return jnp.sum(fused_temporal_stack(x, wl, H) ** 2)
+
+    def loss_blocks(x, wl):
+        return jnp.sum(per_block(x, wl) ** 2)
+
+    gx_s, gw_s = jax.grad(loss_stack, argnums=(0, 1))(x, wl)
+    gx_b, gw_b = jax.grad(loss_blocks, argnums=(0, 1))(x, wl)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_b),
+                               rtol=0, atol=3e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gw_s),
+                    jax.tree_util.tree_leaves(gw_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3e-4)
