@@ -309,14 +309,18 @@ def _bwd_kernel(x_ref, *refs, num_heads):
         for ref in dw_refs:
             ref[...] = jnp.zeros_like(ref)
 
-    # forward sweep: store each block's input (cheap; intermediates are
-    # recomputed per block in the reverse sweep)
+    # forward sweep: keep each block's input AND residuals — at E=32 the
+    # whole stack's fp32 residuals are ~25 MB of VMEM, so the reverse sweep
+    # needs no per-block forward recompute (the recompute was ~1 extra full
+    # forward per grid step, ~27% of this kernel's time)
     x = x_ref[:].reshape(E, J * BB).astype(jnp.float32)
     xs = []
+    ress = []
     for d in range(depth):
         xs.append(x)
         wd = _weights_at(w_refs, d)
-        x, _ = _block_fwd(x, wd, num_heads, J, BB, cdtype)
+        x, res = _block_fwd(x, wd, num_heads, J, BB, cdtype)
+        ress.append(res)
 
     # final LayerNorm backward
     lnf_s = jnp.reshape(w_refs[12][0].astype(jnp.float32), (-1, 1))
@@ -333,8 +337,7 @@ def _bwd_kernel(x_ref, *refs, num_heads):
              "ln2_s", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
     for d in range(depth - 1, -1, -1):
         wd = _weights_at(w_refs, d)
-        _, res = _block_fwd(xs[d], wd, num_heads, J, BB, cdtype)
-        dx, dW = _block_bwd(dx, xs[d], wd, res, num_heads, J, BB)
+        dx, dW = _block_bwd(dx, xs[d], wd, ress[d], num_heads, J, BB)
         for wi, name in enumerate(order):
             ref = dw_refs[wi]
             contrib = dW[name].astype(ref.dtype)

@@ -146,11 +146,14 @@ def _attn_fwd_hb(qkv, num_heads, T, BB, o_ref=None, probs=None):
     return o_ref[:].astype(f32), None
 
 
-def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None, probs=None):
-    """Reverse of :func:`_attn_fwd_hb`: do (D, T*BB) fp32 -> dqkv
-    (3D, T*BB), probabilities recomputed tile-wise unless ``probs`` is
-    given. Same lane-sliced structure as the forward; ``dqkv_ref``:
-    optional (3D, T*BB) VMEM scratch, written column-by-column."""
+def _attn_bwd_stream(do, qkv, num_heads, T, BB, consume, probs=None):
+    """Reverse of :func:`_attn_fwd_hb` in STREAMING column form: do
+    (D, T*BB) fp32; per token t the (3D, BB) gradient column
+    [dq_t; dk_t; dv_t] is built and handed to ``consume(t, dqkv_col)``
+    immediately, so at most ONE big column is live at a time (holding all
+    3T columns cost ~80 MB of register spills at 256 windows/step). Only
+    the small (H, BB) softmax/score tiles (probs, dp, ds) stay resident.
+    Probabilities are recomputed tile-wise unless ``probs`` is given."""
     D = qkv.shape[0] // 3
     H = num_heads
     HD = D // H
@@ -165,47 +168,43 @@ def _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=None, probs=None):
     def lane(base, t):
         return qkv[base:base + D, t * BB:(t + 1) * BB].astype(f32)
 
-    # dv columns (accumulated over queries) + dp tiles
-    dp = [[None] * T for _ in range(T)]
-    dv_cols = [None] * T
-    for tk in range(T):
-        vk = lane(2 * D, tk)
-        acc = None
-        for tq in range(T):
-            do_col = do[:, tq * BB:(tq + 1) * BB]
-            contrib = h3(do_col) * probs[tq][tk][None]
-            acc = contrib if acc is None else acc + contrib
-            dp[tq][tk] = jnp.sum(h3(do_col * vk), axis=0)       # (H, BB)
-        dv_cols[tk] = acc.reshape(D, BB)
-    # softmax backward tile-wise, then dq/dk columns
-    ds = [[None] * T for _ in range(T)]
-    dq_cols = [None] * T
+    def do_col(t):
+        return do[:, t * BB:(t + 1) * BB]
+
+    # small (H, BB) tiles: dp, then softmax backward ds
+    dp = [[jnp.sum(h3(do_col(tq) * lane(2 * D, tk)), axis=0)
+           for tk in range(T)] for tq in range(T)]
+    ds = [None] * T
     for tq in range(T):
         c = functools.reduce(jnp.add,
                              (dp[tq][tk] * probs[tq][tk] for tk in range(T)))
-        acc = None
-        for tk in range(T):
-            ds[tq][tk] = probs[tq][tk] * (dp[tq][tk] - c)
-            contrib = h3(lane(D, tk)) * ds[tq][tk][None]
-            acc = contrib if acc is None else acc + contrib
-        dq_cols[tq] = acc.reshape(D, BB) * scale
-    dk_cols = [None] * T
-    for tk in range(T):
-        acc = None
-        for tq in range(T):
-            contrib = h3(lane(0, tq)) * ds[tq][tk][None]
-            acc = contrib if acc is None else acc + contrib
-        dk_cols[tk] = acc.reshape(D, BB) * scale
-    if dqkv_ref is None:
-        return jnp.concatenate(
-            [jnp.concatenate(cols, axis=1)
-             for cols in (dq_cols, dk_cols, dv_cols)], axis=0)
+        ds[tq] = [probs[tq][tk] * (dp[tq][tk] - c) for tk in range(T)]
+
     for t in range(T):
-        sl = slice(t * BB, (t + 1) * BB)
-        dqkv_ref[0:D, sl] = dq_cols[t].astype(dqkv_ref.dtype)
-        dqkv_ref[D:2 * D, sl] = dk_cols[t].astype(dqkv_ref.dtype)
-        dqkv_ref[2 * D:, sl] = dv_cols[t].astype(dqkv_ref.dtype)
-    return dqkv_ref[:].astype(f32)
+        dq = functools.reduce(jnp.add, (h3(lane(D, tk)) * ds[t][tk][None]
+                                        for tk in range(T)))
+        dk = functools.reduce(jnp.add, (h3(lane(0, tq)) * ds[tq][t][None]
+                                        for tq in range(T)))
+        dv = functools.reduce(jnp.add, (h3(do_col(tq)) * probs[tq][t][None]
+                                        for tq in range(T)))
+        consume(t, jnp.concatenate(
+            [dq.reshape(D, BB) * scale, dk.reshape(D, BB) * scale,
+             dv.reshape(D, BB)], axis=0))
+
+
+def _attn_bwd_hb(do, qkv, num_heads, T, BB, probs=None):
+    """Materialized (3D, T*BB) gradient from :func:`_attn_bwd_stream`
+    (numerical oracle / interpret-mode convenience)."""
+    cols = [None] * T
+
+    def consume(t, col):
+        cols[t] = col
+
+    _attn_bwd_stream(do, qkv, num_heads, T, BB, consume, probs=probs)
+    D = qkv.shape[0] // 3
+    return jnp.concatenate(
+        [jnp.concatenate([c[i * D:(i + 1) * D] for c in cols], axis=1)
+         for i in range(3)], axis=0)
 
 
 def _lift(wp):
@@ -355,12 +354,18 @@ def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
 
 
 def _bwd_attn_kernel(x_ref, *refs, num_heads):
-    """Backward of the attention half: (x, dx2) -> (dx, dW_attn)."""
+    """Backward of the attention half: (x, dx2) -> (dx, dW_attn).
+
+    The attention gradient is consumed COLUMN-WISE: dy1 and the qkv weight
+    grads decompose per token (dy1 cols = qkv_w x dqkv_col; dW_qkv = sum_t
+    y1_col dqkv_col^T), so the (3D, T*BB) dqkv slab is never materialized —
+    only one (3D, BB) column lives at a time. That VMEM cut is what lets
+    this half run the same 256-window grid block as the forward."""
     w_refs = refs[:6]
     g_ref = refs[6]
     dx_ref = refs[7]
     dw_refs = refs[8:14]
-    o_scr, dqkv_scr = refs[14:]
+    o_scr, dy1_scr = refs[14:]
     D, T, BB = x_ref.shape
     cdtype = x_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
@@ -377,11 +382,23 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
     da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
     do = dot_dx(wd["proj_w"], da)
     dW = {"proj_w": dot_dw(o, da), "proj_b": jnp.sum(da, axis=1)}
-    dqkv = _attn_bwd_hb(do, qkv, num_heads, T, BB, dqkv_ref=dqkv_scr,
-                        probs=probs)
-    dy1 = dot_dx(wd["qkv_w"], dqkv)
-    dW["qkv_w"] = dot_dw(y1, dqkv)
-    dW["qkv_b"] = jnp.sum(dqkv, axis=1)
+    acc = {"qkv_w": None, "qkv_b": None}
+
+    def consume(t, dqkv_col):
+        sl = slice(t * BB, (t + 1) * BB)
+        dy1_scr[:, sl] = dot_dx(wd["qkv_w"], dqkv_col).astype(
+            dy1_scr.dtype)
+        contrib = dot_dw(y1[:, sl], dqkv_col)
+        acc["qkv_w"] = contrib if acc["qkv_w"] is None \
+            else acc["qkv_w"] + contrib
+        csum = jnp.sum(dqkv_col, axis=1)
+        acc["qkv_b"] = csum if acc["qkv_b"] is None \
+            else acc["qkv_b"] + csum
+
+    _attn_bwd_stream(do, qkv, num_heads, T, BB, consume, probs=probs)
+    dW["qkv_w"] = acc["qkv_w"]
+    dW["qkv_b"] = acc["qkv_b"]
+    dy1 = dy1_scr[:].astype(jnp.float32)
     dW["ln1_s"] = jnp.sum(dy1 * xh1, axis=1)
     dW["ln1_b"] = jnp.sum(dy1, axis=1)
     dx = da + _ln_bwd(dy1, xh1, inv1, wd["ln1_s"])
@@ -469,9 +486,11 @@ def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
         )(x_in, *w6, g_in)
 
     dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [], bn_mlp)
+    # scratches: o (compute dtype) for the fwd recompute, dy1 fp32 (feeds
+    # the LN backward + scale/bias grads, where bf16 rounding would show)
     dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
                         [pltpu.VMEM((D, T * bn_attn), xt.dtype),
-                         pltpu.VMEM((3 * D, T * bn_attn), xt.dtype)],
+                         pltpu.VMEM((D, T * bn_attn), jnp.float32)],
                         bn_attn)
     dws = list(dw_attn) + list(dw_mlp)
     return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
