@@ -104,6 +104,9 @@ def add_trainer_args(parser: argparse.ArgumentParser):
     group.add_argument("--gradient_clip_val", type=float, default=0.0,
                        help="global-norm gradient clipping (0 = off), the "
                             "Lightning Trainer flag equivalent")
+    group.add_argument("--skip_initial_metrics", type=boolean, default=False,
+                       help="skip the fit-start input-as-prediction / "
+                            "prevalent-class baseline metrics pass")
     group.add_argument("--detect_anomaly", type=boolean, default=False,
                        help="the Lightning Trainer flag: at every log "
                             "interval, abort with a diagnostic dump if any "
@@ -487,6 +490,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         logs_dir=args.logs_dir or f"{args.root_dir}/logs/{args.flow}",
         run_name=run_name,
         detect_anomaly=args.detect_anomaly,
+        skip_initial_metrics=args.skip_initial_metrics,
         logger=args.logger,
     )
     video_logger = None
