@@ -50,10 +50,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_spatial_transformer import (_INV_SQRT2, _INV_SQRT_2PI,
-                                        _block_fwd, _dense, _erf,
-                                        _gelu, _ln_bwd, _ln_fwd, _prep,
-                                        _w_spec, _x_spec)
+from .fused_spatial_transformer import (_block_fwd, _dense, _dgelu, _gelu,
+                                        _ln_bwd, _ln_fwd, _prep, _w_spec,
+                                        _x_spec)
 
 #: windows per grid step (lane width). The backward holds fp32 weight-grad
 #: accumulators (22 MB at PoseFormer shapes) next to the recompute residuals,
@@ -334,17 +333,11 @@ def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
 
     wd = _wd_mlp(w_refs)
     x2 = x2_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    # inline the half's recompute so the gelu's erf is computed ONCE and
-    # shared between g (= h * cdf) and dgelu (= cdf + h * pdf)
-    xh2, inv2, y2f = _ln_fwd(x2, wd["ln2_s"], wd["ln2_b"])
-    y2 = y2f.astype(cdtype)
-    h = _dense(wd["fc1_w"], wd["fc1_b"], y2, cdtype)       # (MLP, M) fp32
-    cdf = 0.5 * (1.0 + _erf(h * _INV_SQRT2))
-    g = (h * cdf).astype(cdtype)
+    _, (xh2, inv2, y2, h, g) = _mlp_half_fwd(x2, wd, cdtype)
     du = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
     dgl = dot_dx(wd["fc2_w"], du)
     dW = {"fc2_w": dot_dw(g, du), "fc2_b": jnp.sum(du, axis=1)}
-    dh = dgl * (cdf + h * (jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI))
+    dh = dgl * _dgelu(h.astype(jnp.float32))
     dy2 = dot_dx(wd["fc1_w"], dh)
     dW["fc1_w"] = dot_dw(y2, dh)
     dW["fc1_b"] = jnp.sum(dh, axis=1)
