@@ -63,29 +63,45 @@ _EMITTED = False
 
 
 def _emit():
-    """Print the ONE JSON line (idempotent, thread-safe)."""
+    """Print the ONE JSON line (idempotent, thread-safe). _EMITTED is set
+    only AFTER a successful print: the failsafe thread can fire while the
+    main thread is mutating RESULTS, and a dict-changed-during-iteration
+    error here must not suppress the line forever (the whole point of the
+    deadline contract is that the line always comes out)."""
     global _EMITTED
     with _EMIT_LOCK:
         if _EMITTED:
             return
+        try:
+            detail = {
+                "config": "LinearAE pose_lifting, batch 1024, clip 16, "
+                          "CARLA in/out, loss=loc_2d_3d",
+                **dict(RESULTS),
+            }
+            if SKIPPED:
+                detail["timed_out_after"] = list(SKIPPED)
+            detail["bench_deadline_s"] = DEADLINE.limit
+            detail["bench_elapsed_s"] = round(
+                time.monotonic() - DEADLINE.t0, 1)
+            detail["task_seconds"] = {k: round(v, 1)
+                                      for k, v in dict(TIMINGS).items()}
+            payload = json.dumps({
+                "metric": "pose_lifting_train_clips_per_sec_per_chip",
+                "value": HEADLINE["value"],
+                "unit": "clips/s",
+                "vs_baseline": HEADLINE["vs_baseline"],
+                "detail": detail,
+            })
+        except Exception as e:  # concurrent mutation / unserializable value
+            payload = json.dumps({
+                "metric": "pose_lifting_train_clips_per_sec_per_chip",
+                "value": HEADLINE["value"],
+                "unit": "clips/s",
+                "vs_baseline": HEADLINE["vs_baseline"],
+                "detail": {"emit_error": repr(e)[:120]},
+            })
+        print(payload, flush=True)
         _EMITTED = True
-    detail = {
-        "config": "LinearAE pose_lifting, batch 1024, clip 16, "
-                  "CARLA in/out, loss=loc_2d_3d",
-        **RESULTS,
-    }
-    if SKIPPED:
-        detail["timed_out_after"] = list(SKIPPED)
-    detail["bench_deadline_s"] = DEADLINE.limit
-    detail["bench_elapsed_s"] = round(time.monotonic() - DEADLINE.t0, 1)
-    detail["task_seconds"] = {k: round(v, 1) for k, v in TIMINGS.items()}
-    print(json.dumps({
-        "metric": "pose_lifting_train_clips_per_sec_per_chip",
-        "value": HEADLINE["value"],
-        "unit": "clips/s",
-        "vs_baseline": HEADLINE["vs_baseline"],
-        "detail": detail,
-    }), flush=True)
 
 
 def _start_failsafe(grace_s=40.0):
@@ -666,7 +682,6 @@ def task_host_pipeline(num_clips=16384, batch=BATCH, epochs=2):
                                       put_fn=jax.device_put):
                 state, logs = train_step(state, b, rng)
                 n += batch
-            jax.block_until_ready(logs)
             _sync(logs)
             return n
 

@@ -179,7 +179,7 @@ class Hdf5DataModule(BaseDataModule):
                 self._subsets[name] = (projection_2d, targets, meta)
                 self._maybe_build_native_cache(name, path, projection_2d,
                                                targets)
-                if self.device_resident \
+                if self.device_resident and len(projection_2d) \
                         and not getattr(self, "_keep_string_meta", False):
                     # whole-subset HBM residency: one host->device transfer
                     # per subset at setup; every epoch's batch gather +
@@ -264,6 +264,8 @@ class Hdf5DataModule(BaseDataModule):
         import jax.numpy as jnp
         proj_d, targets_d, meta_d = self._resident[name]
         n = self._subsets[name][0].shape[0]
+        if n == 0:
+            return
         order = np.arange(n)
         if shuffle:
             np.random.default_rng(self.seed + seed).shuffle(order)

@@ -12,13 +12,18 @@ import numpy as np
 def save_subset(path: str, projection_2d: np.ndarray,
                 targets: Dict[str, np.ndarray],
                 meta: Dict[str, Any]) -> int:
+    # chunking requires non-empty data; 0-clip subsets (e.g. test_set_frac=0)
+    # are stored unchunked
+    empty = len(projection_2d) == 0
     with h5py.File(path, "w") as f:
         f.create_dataset("projection_2d", data=projection_2d,
-                         chunks=(1, *projection_2d.shape[1:]))
+                         chunks=None if empty
+                         else (1, *projection_2d.shape[1:]))
         for k, v in targets.items():
             v = np.asarray(v)
             f.create_dataset(f"targets/{k}", data=v,
-                             chunks=(1, *v.shape[1:]) if v.ndim > 1 else None)
+                             chunks=(1, *v.shape[1:])
+                             if v.ndim > 1 and len(v) else None)
         for k, v in meta.items():
             v_arr = np.asarray(v)
             if isinstance(v, np.ndarray) and v.dtype.kind not in ("U", "S", "O"):

@@ -417,13 +417,26 @@ def _block_n(n, block):
     return block
 
 
+def _fit_block(Np, block):
+    """Largest width <= ``block`` that DIVIDES the padded slab length. The
+    slab impls recompute their width from Np (they can be entered with a
+    slab padded for a DIFFERENT width — e.g. _bwd_impl pads once for the
+    wider MLP half, or the stack pads for max(fwd, bwd)); a non-dividing
+    width silently truncates the grid and drops tail windows' outputs
+    (r3 review finding: grads for windows >= grid*bn were never written).
+    gcd keeps every invariant: it divides Np, and since Np and block are
+    both multiples of the 128-lane quantum (8 on CPU), so is the gcd."""
+    import math
+    return math.gcd(Np, block)
+
+
 _COMPILER = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
 
 def _fwd_impl_slab(xt, wp, num_heads, save_x2=False):
     """Forward on an already-padded (D, T, Np) slab; returns slab(s)."""
     D, T, Np = xt.shape
-    bn = _block_n(Np, BLOCK_N_FWD)
+    bn = _fit_block(Np, _block_n(Np, BLOCK_N_FWD))
     wl = _lift(wp)
     out_shape = [jax.ShapeDtypeStruct((D, T, Np), xt.dtype)]
     out_specs = [_x_spec(D, T, bn)]
@@ -465,8 +478,8 @@ def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
     comfortably, and the forward saves x2 so neither half recomputes the
     other."""
     D, T, Np = xt.shape
-    bn_mlp = _block_n(Np, BLOCK_N_BWD_MLP)
-    bn_attn = _block_n(Np, BLOCK_N_BWD_ATTN)
+    bn_mlp = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_MLP))
+    bn_attn = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_ATTN))
     wl = _lift(wp)
     wl_attn, wl_mlp = wl[:6], wl[6:]
 

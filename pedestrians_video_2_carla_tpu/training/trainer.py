@@ -161,8 +161,11 @@ class Trainer:
             counts = self.flow.param_counts(self.state)
             print("  | model      | params\n  " + "\n  ".join(
                 f"| {k:<10} | {v:,}" for k, v in counts.items()))
-        if not self.config.skip_initial_metrics and self.is_main_process:
-            initial = self._initial_metrics()
+        if self.is_main_process:
+            # hparams + param counts always log; only the baseline metrics
+            # pass itself is gated by --skip_initial_metrics
+            initial = {} if self.config.skip_initial_metrics \
+                else self._initial_metrics()
             self.logger.log_hparams({
                 **self.dm.hparams, **initial,
                 **{f"params/{k}": v for k, v in counts.items()}})

@@ -175,3 +175,25 @@ def test_fused_stack_matches_per_block(block_setup):
                     jax.tree_util.tree_leaves(gw_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=3e-4)
+
+
+def test_fused_block_grad_covers_tail_windows(block_setup):
+    """N not a multiple of any block width: gradients for the tail windows
+    must be written (r3 review finding: the backward grid truncated when the
+    slab was padded for a different width, leaving NaN/garbage rows)."""
+    _, m, params, weights = block_setup
+    N = 136  # pads to 136 on CPU; attn-half width 128 would drop rows 128+
+    x = jax.random.normal(jax.random.PRNGKey(9), (N, T, D), jnp.float32)
+
+    def loss(x, w):
+        return jnp.sum(fused_temporal_block(x, w, H) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, weights)
+    assert np.isfinite(np.asarray(gx)).all()
+
+    def ref_loss(x, _):
+        return jnp.sum(m.apply(params, x, False) ** 2)
+
+    gx_ref = jax.grad(ref_loss)(x, weights)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0, atol=5e-4)

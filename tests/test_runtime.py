@@ -112,9 +112,35 @@ def test_device_resident_matches_host_path(tmp_path, rng):
     assert len(host_val) == len(res_val) == 4  # ceil(14/4) incl. wrap pad
     for hb, rb in zip(host_train + host_val, res_train + res_val):
         np.testing.assert_allclose(hb[0], rb[0], atol=1e-6)
+        # every host target is numeric in this fixture, so the resident
+        # batch must carry the exact same key set (a missing key would mean
+        # the resident path silently dropped a target)
+        assert set(hb[1]) == set(rb[1])
         for k in hb[1]:
-            if k in rb[1]:
-                np.testing.assert_allclose(hb[1][k], rb[1][k], atol=1e-6,
-                                           err_msg=k)
+            np.testing.assert_allclose(hb[1][k], rb[1][k], atol=1e-6,
+                                       err_msg=k)
         np.testing.assert_array_equal(hb[2]["age_gender_idx"],
                                       rb[2]["age_gender_idx"])
+
+
+def test_device_resident_empty_subset_yields_nothing(tmp_path, rng):
+    """A 0-clip subset must yield no batches, not crash the jitted gather
+    (r3 review finding: jnp.take on an empty axis raises under jit)."""
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.skeletons import CARLA_SKELETON
+
+    save_subset(str(tmp_path / "train.hdf5"),
+                rng.normal(size=(8, 4, 26, 2)).astype(np.float32) + 300,
+                {}, {"age": ["adult"] * 8, "gender": ["female"] * 8})
+    save_subset(str(tmp_path / "val.hdf5"),
+                np.zeros((0, 4, 26, 2), np.float32), {},
+                {"age": [], "gender": []})
+    dm = SubsetsDataModule(subsets_dir=str(tmp_path), batch_size=4,
+                           clip_length=4, data_nodes=CARLA_SKELETON,
+                           device_resident=True)
+    dm.prepare_data()
+    dm.setup("fit")
+    assert len(list(dm.train_batches(0))) == 2
+    assert list(dm.val_batches()) == []
