@@ -64,8 +64,6 @@ def main():
     from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
     from pedestrians_video_2_carla_tpu.models.movements import \
         MOVEMENTS_MODELS
-    from pedestrians_video_2_carla_tpu.ops.pallas.fused_spatial_transformer \
-        import fused_spatial_stack
     from pedestrians_video_2_carla_tpu.ops.pallas.fused_temporal_transformer \
         import fused_temporal_block
     from pedestrians_video_2_carla_tpu.utils.rng import training_rng
