@@ -365,7 +365,7 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
     g_ref = refs[6]
     dx_ref = refs[7]
     dw_refs = refs[8:14]
-    o_scr, dy1_scr = refs[14:]
+    (dy1_scr,) = refs[14:]
     D, T, BB = x_ref.shape
     cdtype = x_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
@@ -377,11 +377,28 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
 
     wd = _wd_attn(w_refs)
     x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    _, (xh1, inv1, y1, qkv, o, probs) = _attn_half_fwd(
-        x, wd, num_heads, T, BB, cdtype, o_ref=o_scr, want_probs=True)
+    # recompute up to qkv/probs; the attention output o is consumed
+    # COLUMN-WISE below (it only feeds dW_proj), so it is never
+    # materialized and the proj dense of the fwd is never re-run
+    xh1, inv1, y1f = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
+    qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1f, cdtype).astype(cdtype)
+    y1 = y1f.astype(cdtype)
+    probs = _probs_lanes(qkv, num_heads, T, BB)
+    H = num_heads
+    HD = D // H
     da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
     do = dot_dx(wd["proj_w"], da)
-    dW = {"proj_w": dot_dw(o, da), "proj_b": jnp.sum(da, axis=1)}
+    dWp = None
+    for tq in range(T):
+        acc_o = None
+        for tk in range(T):
+            vt = qkv[2 * D:, tk * BB:(tk + 1) * BB].astype(jnp.float32)
+            contrib = vt.reshape(HD, H, BB) * probs[tq][tk][None]
+            acc_o = contrib if acc_o is None else acc_o + contrib
+        o_col = acc_o.reshape(D, BB).astype(cdtype)
+        pc = dot_dw(o_col, da[:, tq * BB:(tq + 1) * BB])
+        dWp = pc if dWp is None else dWp + pc
+    dW = {"proj_w": dWp, "proj_b": jnp.sum(da, axis=1)}
     acc = {"qkv_w": None, "qkv_b": None}
 
     def consume(t, dqkv_col):
@@ -499,11 +516,10 @@ def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
         )(x_in, *w6, g_in)
 
     dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [], bn_mlp)
-    # scratches: o (compute dtype) for the fwd recompute, dy1 fp32 (feeds
-    # the LN backward + scale/bias grads, where bf16 rounding would show)
+    # scratch: dy1 fp32 (feeds the LN backward + scale/bias grads, where
+    # bf16 rounding would show); the o slab is streamed, never stored
     dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
-                        [pltpu.VMEM((D, T * bn_attn), xt.dtype),
-                         pltpu.VMEM((D, T * bn_attn), jnp.float32)],
+                        [pltpu.VMEM((D, T * bn_attn), jnp.float32)],
                         bn_attn)
     dws = list(dw_attn) + list(dw_mlp)
     return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
