@@ -96,11 +96,12 @@ class WandbOfflineLogger(MetricsLogger):
             wandb-history.jsonl   # per-step history rows (_step/_timestamp)
 
     These are the documented file formats the W&B UI/importers consume; the
-    binary ``.wandb`` transaction log requires the wandb package and is the
-    documented gap of this adapter (``wandb sync`` of these dirs needs a
-    one-line ``wandb.init(); wandb.log(row)`` replay of the history file,
-    which the real package can do wherever it IS installed). Scalars/hparams
-    also go through the normal jsonl/TB channels (superclass)."""
+    binary ``.wandb`` transaction log requires the wandb package, so
+    ``tools/wandb_replay.py`` replays these dirs into real (syncable) W&B
+    runs wherever the package IS installed (``wandb.init()`` + per-row
+    ``wandb.log``; round-trip tested in
+    ``tests/test_training.py::test_wandb_replay_roundtrip``). Scalars/
+    hparams also go through the normal jsonl/TB channels (superclass)."""
 
     def __init__(self, log_dir: str, enabled: bool = True,
                  run_id: str = "run", project: str = "pv2c",

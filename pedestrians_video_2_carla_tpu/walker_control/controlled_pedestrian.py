@@ -42,7 +42,8 @@ class ControlledPedestrian:
     def bind(self, world, ignore_shift: bool = False):
         if using_mock_carla() or getattr(carla, "World", None) is None:
             raise RuntimeError(
-                "You are using mock carla, calls to bind are not allowed!")
+                "bind() needs a real CARLA installation; the mock carla "
+                "shim cannot attach to a simulator world.")
         if not ignore_shift:
             shift = self.transform
         self._world = world

@@ -191,3 +191,71 @@ def test_metrics_logger_jsonl_and_rank_zero(tmp_path):
     silent.log_hparams({"a": 1})
     silent.close()
     assert not (tmp_path / "rank1").exists()
+
+
+def test_wandb_replay_roundtrip(tmp_path, monkeypatch):
+    """WandbOfflineLogger run dirs replay losslessly through
+    tools/wandb_replay.py (the ``wandb sync`` gap documented at
+    ``training/loggers.py``; reference's primary logger is WandbLogger,
+    ``modeling.py:194-224``)."""
+    import sys
+    import types
+
+    from pedestrians_video_2_carla_tpu.training.loggers import (
+        WandbOfflineLogger)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    try:
+        import wandb_replay
+    finally:
+        sys.path.pop(0)
+
+    logger = WandbOfflineLogger(str(tmp_path / "logs"), run_id="rt",
+                                project="proj", entity="ent",
+                                argv=["prog", "--flag"])
+    logger.log_hparams({"batch_size": 16, "lr": 1e-3})
+    logger.log_scalars(1, {"train_loss/primary": 0.5, "skipme": "str"})
+    logger.log_scalars(2, {"train_loss/primary": 0.25})
+    logger.close()
+
+    run_dirs = wandb_replay.discover_run_dirs(str(tmp_path / "logs"))
+    assert len(run_dirs) == 1
+
+    # dry-run: parse + validate without wandb installed
+    stats = wandb_replay.replay_run(run_dirs[0], dry_run=True)
+    assert stats == {"rows": 2, "config_keys": 2, "summary_keys": 3}
+
+    # full replay against a stub wandb module: history rows, steps,
+    # config, and summary must round-trip exactly
+    logged = []
+    summary = {}
+
+    class _Run:
+        def __init__(self):
+            self.summary = summary
+        def log(self, row, step=None):
+            logged.append((step, row))
+        def finish(self):
+            pass
+
+    stub = types.ModuleType("wandb")
+    inits = []
+    stub.init = lambda **kw: (inits.append(kw), _Run())[1]
+    stub.Settings = lambda **kw: kw
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    wandb_replay.replay_run(run_dirs[0])
+    assert inits[0]["entity"] == "ent" and inits[0]["project"] == "proj"
+    assert inits[0]["config"] == {"batch_size": 16, "lr": 1e-3}
+    assert [s for s, _ in logged] == [1, 2]
+    assert logged[0][1]["train_loss/primary"] == 0.5
+    assert logged[1][1]["train_loss/primary"] == 0.25
+    assert summary["train_loss/primary"] == 0.25
+
+    # malformed history surfaces as ValueError naming the line
+    files = run_dirs[0]
+    with open(os.path.join(files, "wandb-history.jsonl"), "a") as f:
+        f.write('{"no_step": 1}\n')
+    with pytest.raises(ValueError, match="missing _step"):
+        wandb_replay.load_run(files)
