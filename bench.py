@@ -24,7 +24,32 @@ import sys
 import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache (r4): the r3 bench spent ~700 s of its
+    960 s budget on serial tunnel compiles (poseformer_bf16 alone 413 s)
+    and still skipped 3 precision variants. The cache works through the
+    axon tunnel (verified: a second process compiles the same step in
+    ~0 s), so warmed executables make the whole BASELINE matrix fit the
+    deadline; on a cold cache the deadline machinery still bounds the run.
+    Env-overridable for A/B (BENCH_NO_COMPILE_CACHE=1)."""
+    if os.environ.get("BENCH_NO_COMPILE_CACHE"):
+        return
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         os.path.join(_REPO, ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_raise_persistent_cache_errors", False)
+    except Exception:
+        pass  # older jax without the knobs: run uncached
+
+
+_enable_compile_cache()
 
 # batch 1024 is the single-chip throughput sweet spot (measured: 256 -> ~140k,
 # 1024 -> ~287k, 4096 -> ~134k clips/s); the reference's operational envelope
@@ -156,7 +181,8 @@ def _sync(out):
     float(jnp.sum(leaf))
 
 
-def _timed_loop(step, steps, warmup, bursts=3, max_growth=2):
+def _timed_loop(step, steps, warmup, bursts=3, max_growth=2, estimates=1,
+                spread_out=None):
     """Shared timing methodology for EVERY benchmark in this file: adaptive
     slope timing. Runs of ``n1`` and ``n2`` calls each end in ONE
     synchronous scalar fetch (the only true sync through the axon tunnel —
@@ -169,7 +195,14 @@ def _timed_loop(step, steps, warmup, bursts=3, max_growth=2):
     ``max_growth`` doublings-by-4 and stops early when the global deadline
     runs out (r2's unbounded x4^6 growth is what starved the bench); with a
     partial measurement in hand the best current slope is returned instead
-    of raising. Returns the duration of ``steps`` calls in seconds."""
+    of raising.
+
+    ``estimates > 1`` (r4, VERDICT r3 weak #5): collect that many
+    independent slope estimates at the settled (n1, n2) and return the
+    MEDIAN (tunnel noise made single estimates of the same step disagree
+    by up to 2x run-over-run); the per-estimate slopes land in
+    ``spread_out`` (a list) so callers can report the spread. Returns the
+    duration of ``steps`` calls in seconds."""
     out = None
     for _ in range(warmup):
         out = step()
@@ -183,6 +216,12 @@ def _timed_loop(step, steps, warmup, bursts=3, max_growth=2):
         _sync(out)
         return time.perf_counter() - t0
 
+    def one_slope(T1, T2, n1, n2):
+        slope = (T2 - T1) / (n2 - n1)
+        if slope <= 0:  # pure-noise regime: fall back to an upper bound
+            slope = T2 / n2
+        return slope
+
     n1, n2 = max(1, steps // 10), steps
     T1 = T2 = None
     for g in range(max_growth + 1):
@@ -194,10 +233,16 @@ def _timed_loop(step, steps, warmup, bursts=3, max_growth=2):
             break
         if g < max_growth:
             n1, n2 = n2, n2 * 4
-    slope = (T2 - T1) / (n2 - n1)
-    if slope <= 0:  # pure-noise regime: fall back to a safe upper bound
-        slope = T2 / n2
-    return slope * steps
+    slopes = [one_slope(T1, T2, n1, n2)]
+    for _ in range(estimates - 1):
+        if DEADLINE.expired():
+            break
+        T1 = min(run(n1) for _ in range(bursts))
+        T2 = min(run(n2) for _ in range(bursts))
+        slopes.append(one_slope(T1, T2, n1, n2))
+    if spread_out is not None:
+        spread_out.extend(slopes)
+    return sorted(slopes)[len(slopes) // 2] * steps
 
 
 def _slope_loop(step, steps=64):
@@ -259,14 +304,19 @@ def _headline_step_rate(projection_kernel):
         state_box[0], logs = train_step(state_box[0], batch, rng)
         return logs
 
-    dt = _timed_loop(step, TRAIN_STEPS, warmup=5)
+    # median of 3 slope estimates (VERDICT r3 weak #5: the XLA-vs-pallas
+    # pair differed 2x in one run with no spread visible in the artifact);
+    # per-estimate rates go in the detail so the spread is inspectable
+    slopes = []
+    dt = _timed_loop(step, TRAIN_STEPS, warmup=5, estimates=3,
+                     spread_out=slopes)
     rate = BATCH * TRAIN_STEPS / dt
     RESULTS[f"train_step_{projection_kernel}_clips_per_sec"] = round(rate, 2)
+    RESULTS[f"train_step_{projection_kernel}_slope_estimates"] = [
+        round(BATCH / s, 2) for s in slopes]
     # headline = the faster of the two production train-step kernels: the
     # XLA plane path vs the hand-written Pallas forward+backward
-    # (--projection_kernel pallas_train). A/B on the real chip has
-    # pallas_train ahead, but tunnel noise overlaps the two, so measure
-    # both whenever the budget allows and report the max.
+    # (--projection_kernel pallas_train); each side is its own median.
     if HEADLINE["value"] is None or rate > HEADLINE["value"]:
         HEADLINE["value"] = round(rate, 2)
     return rate

@@ -50,22 +50,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_spatial_transformer import (_block_fwd, _dense, _dgelu, _gelu,
-                                        _ln_bwd, _ln_fwd, _prep, _w_spec,
-                                        _x_spec)
+from .fused_spatial_transformer import (LN_EPS, _block_fwd, _dense, _dgelu,
+                                        _gelu, _ln_bwd, _ln_fwd, _prep,
+                                        _w_spec, _x_spec)
 
-#: windows per grid step (lane width). The backward holds fp32 weight-grad
-#: accumulators (22 MB at PoseFormer shapes) next to the recompute residuals,
-#: so it runs a narrower block than the forward (256 fails to compile for the
-#: backward halves; measured fwd 26.1 ms @128 -> 24.6 ms @256).
+#: windows per grid step (lane width). r4: the backward halves stream every
+#: slab-sized intermediate through explicit VMEM scratch (see the kernel
+#: docstrings), which removed the ~80 MB of register spill slots that
+#: previously kept the attention half at 128 — both halves now run the
+#: forward's 256 width.
 BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 256))
-BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 128))
+BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 256))
 #: the two backward halves are separate pallas calls with different VMEM
-#: live sets, so they take independent widths; defaults = measured winners
-#: (mlp-half fits 256 and gains, attn-half's dqkv scratch + fp32 qkv-grad
-#: accumulators exceed VMEM at 256)
+#: live sets, so they take independent widths
 BLOCK_N_BWD_MLP = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_MLP",
-                                     2 * BLOCK_N_BWD))
+                                     BLOCK_N_BWD))
 BLOCK_N_BWD_ATTN = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN",
                                       BLOCK_N_BWD))
 
@@ -314,17 +313,56 @@ def _fwd_kernel(x_ref, *refs, num_heads, save_x2):
     out_ref[:] = y.astype(cdtype).reshape(D, T, BB)
 
 
+def _flush_dw(dw_refs, order, dW):
+    """Accumulate this grid step's weight-grad contributions into the
+    constant-index-map output refs (running sums across sequential grid
+    steps; initialized at program 0)."""
+    for wi, name in enumerate(order):
+        contrib = dW[name].astype(dw_refs[wi].dtype)
+        if contrib.ndim < dw_refs[wi].ndim:   # lifted 1-D bias/scale grads
+            contrib = contrib[None]
+        dw_refs[wi][...] += contrib
+
+
+def _acc(a, b):
+    return b if a is None else a + b
+
+
+def _ln_col_fwd(x, s, b):
+    """Per-column LayerNorm recompute that also returns the (mu, inv)
+    stats, so the LN-backward loop can rebuild xh from the input ref
+    instead of keeping slab-sized xh values live (column streaming)."""
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=0, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xh = (x - mu) * inv
+    return mu, inv, xh, xh * s + b
+
+
 def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
-    """Backward of the MLP half: (x2, g) -> (dx2, dW_mlp). Recomputes the
-    half's intermediates from the saved x2 (flash-style)."""
+    """Backward of the MLP half: (x2, g) -> (dx2, dW_mlp).
+
+    COLUMN-STREAMING dataflow (r4): the r3 version recomputed the half on
+    the full (D, T*BB) slab and kept every intermediate (xh2, y2, h, g,
+    du, dgl, dh, dy2) live as SSA values alongside two fp32 weight-grad
+    accumulators — Mosaic's register allocator turned those into ~80 MB of
+    slab-sized spill slots and pinned the backward pool at ~32% MFU vs the
+    forward's 68% (docs/PERFORMANCE.md "r3 update"). Now each token column
+    is recomputed and back-propagated independently (LayerNorm stats are
+    per-column, so the MLP half has no cross-token dependency at all); the
+    only slab-sized buffers are three explicit VMEM scratch slabs (y2, g,
+    dh in the compute dtype) that feed the two per-grid-step weight-grad
+    matmuls. Live register footprint drops from O(slab) to O(column)."""
     del num_heads
     w_refs = refs[:6]
     g_ref = refs[6]
     dx2_ref = refs[7]
-    dw_refs = refs[8:]
+    dw_refs = refs[8:14]
+    y2_scr, g_scr, dh_scr = refs[14:]
     D, T, BB = x2_ref.shape
     cdtype = x2_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
+    f32 = jnp.float32
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -332,43 +370,58 @@ def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
             ref[...] = jnp.zeros_like(ref)
 
     wd = _wd_mlp(w_refs)
-    x2 = x2_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    _, (xh2, inv2, y2, h, g) = _mlp_half_fwd(x2, wd, cdtype)
-    du = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    dgl = dot_dx(wd["fc2_w"], du)
-    dW = {"fc2_w": dot_dw(g, du), "fc2_b": jnp.sum(du, axis=1)}
-    dh = dgl * _dgelu(h.astype(jnp.float32))
-    dy2 = dot_dx(wd["fc1_w"], dh)
-    dW["fc1_w"] = dot_dw(y2, dh)
-    dW["fc1_b"] = jnp.sum(dh, axis=1)
-    dW["ln2_s"] = jnp.sum(dy2 * xh2, axis=1)
-    dW["ln2_b"] = jnp.sum(dy2, axis=1)
-    dx2 = du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
-    for wi, name in enumerate(("ln2_s", "ln2_b", "fc1_w", "fc1_b",
-                               "fc2_w", "fc2_b")):
-        contrib = dW[name].astype(dw_refs[wi].dtype)
-        if contrib.ndim < dw_refs[wi].ndim:   # lifted 1-D bias/scale grads
-            contrib = contrib[None]
-        dw_refs[wi][...] += contrib
-    dx2_ref[:] = dx2.astype(cdtype).reshape(D, T, BB)
+    dln2_s = dln2_b = dfc1_b = dfc2_b = None
+    for t in range(T):
+        sl = slice(t * BB, (t + 1) * BB)
+        x2 = x2_ref[:, t, :].astype(f32)
+        _, inv2, xh2, y2 = _ln_col_fwd(x2, wd["ln2_s"], wd["ln2_b"])
+        y2_scr[:, sl] = y2.astype(cdtype)
+        h = _dense(wd["fc1_w"], wd["fc1_b"], y2.astype(cdtype), cdtype)
+        g_scr[:, sl] = _gelu(h).astype(cdtype)
+        du = g_ref[:, t, :].astype(f32)
+        dgl = dot_dx(wd["fc2_w"], du)
+        dh = dgl * _dgelu(h)
+        dh_scr[:, sl] = dh.astype(cdtype)
+        dy2 = dot_dx(wd["fc1_w"], dh.astype(cdtype))
+        dln2_s = _acc(dln2_s, jnp.sum(dy2 * xh2, axis=1))
+        dln2_b = _acc(dln2_b, jnp.sum(dy2, axis=1))
+        dfc1_b = _acc(dfc1_b, jnp.sum(dh, axis=1))
+        dfc2_b = _acc(dfc2_b, jnp.sum(du, axis=1))
+        dx2_ref[:, t, :] = (du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
+                            ).astype(cdtype)
+
+    du_slab = g_ref[:].reshape(D, T * BB)
+    dW = {"ln2_s": dln2_s, "ln2_b": dln2_b,
+          "fc1_w": dot_dw(y2_scr[:], dh_scr[:]), "fc1_b": dfc1_b,
+          "fc2_w": dot_dw(g_scr[:], du_slab), "fc2_b": dfc2_b}
+    _flush_dw(dw_refs, ("ln2_s", "ln2_b", "fc1_w", "fc1_b",
+                        "fc2_w", "fc2_b"), dW)
 
 
 def _bwd_attn_kernel(x_ref, *refs, num_heads):
     """Backward of the attention half: (x, dx2) -> (dx, dW_attn).
 
-    The attention gradient is consumed COLUMN-WISE: dy1 and the qkv weight
-    grads decompose per token (dy1 cols = qkv_w x dqkv_col; dW_qkv = sum_t
-    y1_col dqkv_col^T), so the (3D, T*BB) dqkv slab is never materialized —
-    only one (3D, BB) column lives at a time. That VMEM cut is what lets
-    this half run the same 256-window grid block as the forward."""
+    COLUMN-STREAMING dataflow (r4, same rationale as
+    :func:`_bwd_mlp_kernel`): every slab-sized intermediate lives in an
+    explicit VMEM scratch buffer (y1, qkv, o, do, dqkv) produced/consumed
+    one token column at a time — the r3 version held the recompute slabs,
+    do/da, AND an fp32 qkv weight-grad accumulator live as SSA values,
+    which spilled ~80 MB of vregs and kept this half from compiling at the
+    forward's 256-window grid width. The cross-token attention math
+    (:func:`_probs_lanes` / :func:`_attn_bwd_stream`) reads the scratch
+    REFS directly (free lane slices); the three weight-grad matmuls (qkv,
+    proj) run once per grid step on the streamed slabs, and the LN
+    backward rebuilds xh columns from the input ref + saved (mu, inv)
+    stats instead of keeping the xh slab live."""
     w_refs = refs[:6]
     g_ref = refs[6]
     dx_ref = refs[7]
     dw_refs = refs[8:14]
-    (dy1_scr,) = refs[14:]
+    y1_scr, qkv_scr, o_scr, do_scr, dqkv_scr = refs[14:]
     D, T, BB = x_ref.shape
     cdtype = x_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
+    f32 = jnp.float32
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -376,56 +429,55 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
             ref[...] = jnp.zeros_like(ref)
 
     wd = _wd_attn(w_refs)
-    x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    # recompute up to qkv/probs; the attention output o is consumed
-    # COLUMN-WISE below (it only feeds dW_proj), so it is never
-    # materialized and the proj dense of the fwd is never re-run
-    xh1, inv1, y1f = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
-    qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1f, cdtype).astype(cdtype)
-    y1 = y1f.astype(cdtype)
-    probs = _probs_lanes(qkv, num_heads, T, BB)
-    H = num_heads
-    HD = D // H
-    da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
-    do = dot_dx(wd["proj_w"], da)
-    dWp = None
-    for tq in range(T):
-        acc_o = None
-        for tk in range(T):
-            vt = qkv[2 * D:, tk * BB:(tk + 1) * BB].astype(jnp.float32)
-            contrib = vt.reshape(HD, H, BB) * probs[tq][tk][None]
-            acc_o = contrib if acc_o is None else acc_o + contrib
-        o_col = acc_o.reshape(D, BB).astype(cdtype)
-        pc = dot_dw(o_col, da[:, tq * BB:(tq + 1) * BB])
-        dWp = pc if dWp is None else dWp + pc
-    dW = {"proj_w": dWp, "proj_b": jnp.sum(da, axis=1)}
-    acc = {"qkv_w": None, "qkv_b": None}
+    # recompute per token column: LN (stats kept for the LN backward) +
+    # qkv dense, streamed into scratch
+    stats = []
+    for t in range(T):
+        sl = slice(t * BB, (t + 1) * BB)
+        x = x_ref[:, t, :].astype(f32)
+        mu, inv, _, y1 = _ln_col_fwd(x, wd["ln1_s"], wd["ln1_b"])
+        stats.append((mu, inv))
+        y1_scr[:, sl] = y1.astype(cdtype)
+        qkv_scr[:, sl] = _dense(wd["qkv_w"], wd["qkv_b"],
+                                y1.astype(cdtype), cdtype).astype(cdtype)
+    # probs tiles + the o columns (o only feeds dW_proj)
+    probs = _probs_lanes(qkv_scr, num_heads, T, BB)
+    _attn_fwd_hb(qkv_scr, num_heads, T, BB, o_ref=o_scr, probs=probs)
+    da_slab = g_ref[:].reshape(D, T * BB)
+    do_scr[:] = dot_dx(wd["proj_w"], da_slab)
+    dW = {"proj_w": dot_dw(o_scr[:], da_slab), "proj_b": None}
+
+    # attention grad columns streamed into dqkv scratch; bias grad summed
+    # from the fp32 column before the storage cast
+    dqkv_b = [None]
 
     def consume(t, dqkv_col):
-        sl = slice(t * BB, (t + 1) * BB)
-        dy1_scr[:, sl] = dot_dx(wd["qkv_w"], dqkv_col).astype(
-            dy1_scr.dtype)
-        contrib = dot_dw(y1[:, sl], dqkv_col)
-        acc["qkv_w"] = contrib if acc["qkv_w"] is None \
-            else acc["qkv_w"] + contrib
-        csum = jnp.sum(dqkv_col, axis=1)
-        acc["qkv_b"] = csum if acc["qkv_b"] is None \
-            else acc["qkv_b"] + csum
+        dqkv_scr[:, t * BB:(t + 1) * BB] = dqkv_col.astype(cdtype)
+        dqkv_b[0] = _acc(dqkv_b[0], jnp.sum(dqkv_col, axis=1))
 
-    _attn_bwd_stream(do, qkv, num_heads, T, BB, consume, probs=probs)
-    dW["qkv_w"] = acc["qkv_w"]
-    dW["qkv_b"] = acc["qkv_b"]
-    dy1 = dy1_scr[:].astype(jnp.float32)
-    dW["ln1_s"] = jnp.sum(dy1 * xh1, axis=1)
-    dW["ln1_b"] = jnp.sum(dy1, axis=1)
-    dx = da + _ln_bwd(dy1, xh1, inv1, wd["ln1_s"])
-    for wi, name in enumerate(("ln1_s", "ln1_b", "qkv_w", "qkv_b",
-                               "proj_w", "proj_b")):
-        contrib = dW[name].astype(dw_refs[wi].dtype)
-        if contrib.ndim < dw_refs[wi].ndim:
-            contrib = contrib[None]
-        dw_refs[wi][...] += contrib
-    dx_ref[:] = dx.astype(cdtype).reshape(D, T, BB)
+    _attn_bwd_stream(do_scr, qkv_scr, num_heads, T, BB, consume,
+                     probs=probs)
+    dW["qkv_w"] = dot_dw(y1_scr[:], dqkv_scr[:])
+    dW["qkv_b"] = dqkv_b[0]
+
+    # dy1 + LN backward, column-streamed (xh rebuilt from x_ref + stats)
+    dln1_s = dln1_b = dpb = None
+    for t in range(T):
+        sl = slice(t * BB, (t + 1) * BB)
+        dy1 = dot_dx(wd["qkv_w"], dqkv_scr[:, sl])
+        mu, inv = stats[t]
+        xh1 = (x_ref[:, t, :].astype(f32) - mu) * inv
+        dln1_s = _acc(dln1_s, jnp.sum(dy1 * xh1, axis=1))
+        dln1_b = _acc(dln1_b, jnp.sum(dy1, axis=1))
+        da = g_ref[:, t, :].astype(f32)
+        dpb = _acc(dpb, jnp.sum(da, axis=1))
+        dx_ref[:, t, :] = (da + _ln_bwd(dy1, xh1, inv, wd["ln1_s"])
+                           ).astype(cdtype)
+    dW["ln1_s"] = dln1_s
+    dW["ln1_b"] = dln1_b
+    dW["proj_b"] = dpb
+    _flush_dw(dw_refs, ("ln1_s", "ln1_b", "qkv_w", "qkv_b",
+                        "proj_w", "proj_b"), dW)
 
 
 def _block_n(n, block):
@@ -515,11 +567,22 @@ def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
             interpret=jax.default_backend() != "tpu",
         )(x_in, *w6, g_in)
 
-    dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, [], bn_mlp)
-    # scratch: dy1 fp32 (feeds the LN backward + scale/bias grads, where
-    # bf16 rounding would show); the o slab is streamed, never stored
-    dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
-                        [pltpu.VMEM((D, T * bn_attn), jnp.float32)],
+    cdtype = xt.dtype
+    MLP = wp[8].shape[1]  # fc1_w (D, MLP)
+    # streamed-slab scratch (see the kernels' docstrings): compute-dtype
+    # except do (fp32 — it feeds the softmax backward's dp tiles, where
+    # bf16 rounding would show against the XLA oracle)
+    mlp_scratch = [pltpu.VMEM((D, T * bn_mlp), cdtype),        # y2
+                   pltpu.VMEM((MLP, T * bn_mlp), cdtype),      # gelu(h)
+                   pltpu.VMEM((MLP, T * bn_mlp), cdtype)]      # dh
+    attn_scratch = [pltpu.VMEM((D, T * bn_attn), cdtype),          # y1
+                    pltpu.VMEM((3 * D, T * bn_attn), cdtype),      # qkv
+                    pltpu.VMEM((D, T * bn_attn), cdtype),          # o
+                    pltpu.VMEM((D, T * bn_attn), jnp.float32),     # do
+                    pltpu.VMEM((3 * D, T * bn_attn), cdtype)]      # dqkv
+    dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, mlp_scratch,
+                        bn_mlp)
+    dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2, attn_scratch,
                         bn_attn)
     dws = list(dw_attn) + list(dw_mlp)
     return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
