@@ -746,10 +746,13 @@ def task_host_pipeline(num_clips=16384, batch=BATCH, epochs=2):
 
 
 def task_resident_pipeline(num_clips=16384, batch=BATCH, epochs=3):
-    """Device-resident epoch throughput: the whole subset lives in HBM once
-    (tens of MB) and every epoch's batch gather + shuffle + preprocessing +
-    train step runs on-device under one jit per batch — no per-batch host
-    RPCs at all (VERDICT r2 item 3)."""
+    """Device-resident epoch throughput, scan-folded (r4, VERDICT r3 #3):
+    the whole subset lives in HBM once and the epoch runs as chunks of
+    K=16 train steps per ``jit(lax.scan(gather + preprocess + step))``
+    dispatch (``runtime/resident_scan.py`` — the Trainer's production path
+    for ``--device_resident true``), so per-batch host dispatch cost, the
+    r3 3-6x gap vs the resident-batch step, amortizes to ~1/K. Bit-identical
+    batches to the streamed path (tests/test_runtime.py)."""
     import shutil
     import tempfile
 
@@ -780,26 +783,36 @@ def task_resident_pipeline(num_clips=16384, batch=BATCH, epochs=3):
         dm.prepare_data()
         dm.setup()
 
+        from pedestrians_video_2_carla_tpu.runtime.resident_scan import \
+            build_scan_runner
+
         flow = PoseLiftingFlow(
             movements_model=MOVEMENTS_MODELS["LinearAE"](),
             loss_modes=[LossModes.loc_2d],
             movements_optimizer=OptimizerSettings(lr=1e-3))
         state = flow.init_state(jax.random.PRNGKey(1),
                                 next(iter(dm.train_batches(0))))
-        train_step = jax.jit(flow.training_step, donate_argnums=(0,))
         rng = training_rng(2)
+        K = 16
+        runner_box = {}
 
         def run_epoch(seed):
             nonlocal state
-            n = 0
+            spec = dm.resident_scan_inputs("train", shuffle=True,
+                                           training=True, seed=seed)
+            gather, key, order_d, nb, trees = spec
+            if not runner_box:  # one jitted runner reused across epochs
+                runner_box["run"] = build_scan_runner(flow, gather, K)
             logs = None
-            for b in dm.train_batches(seed):
-                state, logs = train_step(state, b, rng)
-                n += batch
+            n = 0
+            for b0 in range(0, nb - nb % K, K):
+                state, logs = runner_box["run"](state, rng, key, order_d,
+                                                b0, *trees)
+                n += batch * K
             _sync(logs)
             return n
 
-        run_epoch(0)  # warmup epoch: compiles gather+step
+        run_epoch(0)  # warmup epoch: compiles the folded scan
         t0 = time.perf_counter()
         total = sum(run_epoch(e + 1) for e in range(epochs))
         cps = total / (time.perf_counter() - t0)

@@ -225,12 +225,15 @@ class Hdf5DataModule(BaseDataModule):
         except Exception:
             pass  # native path is best-effort; numpy slicing still works
 
-    def _make_resident_fn(self, training: bool):
-        """One jitted gather+preprocess executable per training flag: takes
-        the resident subset trees plus a batch index and produces the same
-        (inputs, targets, meta) triple as the host path, entirely on-device
-        (the batch index is a traced scalar, so ONE compile serves every
-        batch and epoch)."""
+    def _resident_gather(self, training: bool):
+        """The PURE (unjitted) gather+preprocess function over the resident
+        subset trees: ``(key, order, b, proj, targets, meta) -> batch``.
+        Per-batch iteration jits it directly (``_make_resident_fn``); the
+        scan-folded epoch runner (``runtime/resident_scan.py``) traces it
+        inside a ``lax.scan`` body so K batches' gather + preprocessing +
+        train steps become ONE device dispatch. The batch randomness is
+        ``fold_in(key, b)`` on the batch INDEX, so folded and per-batch
+        iteration are bit-identical."""
         import jax.numpy as jnp
         cfg = self.preprocessing
         batch_size = self.batch_size
@@ -257,15 +260,29 @@ class Hdf5DataModule(BaseDataModule):
                           for k, v in meta.items()}
             return inputs, batch_targets, batch_meta
 
-        return jax.jit(gather)
+        return gather
 
-    def _iter_subset_resident(self, name: str, shuffle: bool, training: bool,
-                              seed: int = 0) -> Iterator:
+    def _make_resident_fn(self, training: bool):
+        """One jitted gather+preprocess executable per training flag (the
+        batch index is a traced scalar, so ONE compile serves every batch
+        and epoch)."""
+        return jax.jit(self._resident_gather(training))
+
+    def resident_scan_inputs(self, name: str, shuffle: bool, training: bool,
+                             seed: int = 0):
+        """Everything a scan-folded epoch runner needs for one epoch over a
+        device-resident subset: ``(gather, key, order_d, num_batches,
+        (proj, targets, meta))`` — or None when the subset isn't resident.
+        The order/key/batch-count semantics are THE definition shared with
+        per-batch resident iteration (``_iter_subset_resident`` consumes
+        this spec), so folded epochs are bit-identical to streamed ones."""
+        if name not in self._resident:
+            return None
         import jax.numpy as jnp
         proj_d, targets_d, meta_d = self._resident[name]
         n = self._subsets[name][0].shape[0]
         if n == 0:
-            return
+            return None
         order = np.arange(n)
         if shuffle:
             np.random.default_rng(self.seed + seed).shuffle(order)
@@ -276,12 +293,21 @@ class Hdf5DataModule(BaseDataModule):
             num_batches += 1
             order = np.resize(order, num_batches * self.batch_size)
         order_d = jax.device_put(jnp.asarray(order, jnp.int32))
+        return (self._resident_gather(training), key, order_d, num_batches,
+                (proj_d, targets_d, meta_d))
+
+    def _iter_subset_resident(self, name: str, shuffle: bool, training: bool,
+                              seed: int = 0) -> Iterator:
+        spec = self.resident_scan_inputs(name, shuffle, training, seed)
+        if spec is None:
+            return
+        _, key, order_d, num_batches, trees = spec
         fn = self._resident_fns.get(training)
         if fn is None:
             fn = self._resident_fns[training] = self._make_resident_fn(
                 training)
         for b in range(num_batches):
-            yield fn(key, order_d, b, proj_d, targets_d, meta_d)
+            yield fn(key, order_d, b, *trees)
 
     def _iter_subset(self, name: str, shuffle: bool, training: bool,
                      seed: int = 0) -> Iterator:

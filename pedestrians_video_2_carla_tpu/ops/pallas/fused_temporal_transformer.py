@@ -54,17 +54,18 @@ from .fused_spatial_transformer import (LN_EPS, _block_fwd, _dense, _dgelu,
                                         _gelu, _ln_bwd, _ln_fwd, _prep,
                                         _w_spec, _x_spec)
 
-#: windows per grid step (lane width). r4: the backward halves stream every
-#: slab-sized intermediate through explicit VMEM scratch (see the kernel
-#: docstrings), which removed the ~80 MB of register spill slots that
-#: previously kept the attention half at 128 — both halves now run the
-#: forward's 256 width.
+#: windows per grid step (lane width). The backward holds fp32 weight-grad
+#: accumulators (22 MB at PoseFormer shapes) next to the recompute residuals,
+#: so it runs a narrower block than the forward (256 fails to compile for the
+#: backward halves; measured fwd 26.1 ms @128 -> 24.6 ms @256).
 BLOCK_N_FWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD", 256))
-BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 256))
+BLOCK_N_BWD = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD", 128))
 #: the two backward halves are separate pallas calls with different VMEM
-#: live sets, so they take independent widths
+#: live sets, so they take independent widths; defaults = measured winners
+#: (mlp-half fits 256 and gains, attn-half's dqkv scratch + fp32 qkv-grad
+#: accumulators exceed VMEM at 256)
 BLOCK_N_BWD_MLP = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_MLP",
-                                     BLOCK_N_BWD))
+                                     2 * BLOCK_N_BWD))
 BLOCK_N_BWD_ATTN = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN",
                                       BLOCK_N_BWD))
 
@@ -313,25 +314,23 @@ def _fwd_kernel(x_ref, *refs, num_heads, save_x2):
     out_ref[:] = y.astype(cdtype).reshape(D, T, BB)
 
 
-def _flush_dw(dw_refs, order, dW):
-    """Accumulate this grid step's weight-grad contributions into the
-    constant-index-map output refs (running sums across sequential grid
-    steps; initialized at program 0)."""
-    for wi, name in enumerate(order):
-        contrib = dW[name].astype(dw_refs[wi].dtype)
-        if contrib.ndim < dw_refs[wi].ndim:   # lifted 1-D bias/scale grads
-            contrib = contrib[None]
-        dw_refs[wi][...] += contrib
-
-
-def _acc(a, b):
-    return b if a is None else a + b
+def _flush_one(ref, contrib):
+    """Accumulate ONE weight-grad contribution into its constant-index-map
+    output ref (running sums across sequential grid steps; initialized at
+    program 0). Flushing each contribution AS SOON as it is computed keeps
+    the (in, out)-sized fp32 results from staying live to the end of the
+    kernel, where they would dominate the register allocator's spill
+    slots."""
+    contrib = contrib.astype(ref.dtype)
+    if contrib.ndim < ref.ndim:   # lifted 1-D bias/scale grads
+        contrib = contrib[None]
+    ref[...] += contrib
 
 
 def _ln_col_fwd(x, s, b):
     """Per-column LayerNorm recompute that also returns the (mu, inv)
-    stats, so the LN-backward loop can rebuild xh from the input ref
-    instead of keeping slab-sized xh values live (column streaming)."""
+    stats (column streaming: stats are per-column, so token columns are
+    independent)."""
     mu = jnp.mean(x, axis=0, keepdims=True)
     var = jnp.maximum(jnp.mean(x * x, axis=0, keepdims=True) - mu * mu, 0.0)
     inv = jax.lax.rsqrt(var + LN_EPS)
@@ -342,23 +341,24 @@ def _ln_col_fwd(x, s, b):
 def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
     """Backward of the MLP half: (x2, g) -> (dx2, dW_mlp).
 
-    COLUMN-STREAMING dataflow (r4): the r3 version recomputed the half on
-    the full (D, T*BB) slab and kept every intermediate (xh2, y2, h, g,
-    du, dgl, dh, dy2) live as SSA values alongside two fp32 weight-grad
-    accumulators — Mosaic's register allocator turned those into ~80 MB of
-    slab-sized spill slots and pinned the backward pool at ~32% MFU vs the
-    forward's 68% (docs/PERFORMANCE.md "r3 update"). Now each token column
-    is recomputed and back-propagated independently (LayerNorm stats are
-    per-column, so the MLP half has no cross-token dependency at all); the
-    only slab-sized buffers are three explicit VMEM scratch slabs (y2, g,
-    dh in the compute dtype) that feed the two per-grid-step weight-grad
-    matmuls. Live register footprint drops from O(slab) to O(column)."""
+    COLUMN-STREAMING dataflow (r4): each token column is recomputed and
+    back-propagated independently inside a ``fori_loop`` with a TRACED
+    index (LayerNorm stats are per-column, so the MLP half has no
+    cross-token dependency); the only slab-sized buffers are explicit
+    VMEM scratch slabs in the compute dtype that feed the two
+    per-grid-step weight-grad matmuls. The r3 full-slab version kept
+    every intermediate (xh2, y2, h, g, du, dgl, dh, dy2) live as SSA
+    values, which the register allocator spilled; A/B on the real chip:
+    7.41 ms vs 7.78 ms per block at the PoseFormer shape. (The same
+    restructure LOSES on the attention half — its cross-token softmax
+    tiles serialize the fori body, 11.4 vs 8.8 ms — so that half keeps
+    the r3 unrolled streaming form.)"""
     del num_heads
     w_refs = refs[:6]
     g_ref = refs[6]
     dx2_ref = refs[7]
     dw_refs = refs[8:14]
-    y2_scr, g_scr, dh_scr = refs[14:]
+    y2_scr, g_scr, dh_scr, dx_scr, xfl_scr, gfl_scr = refs[14:]
     D, T, BB = x2_ref.shape
     cdtype = x2_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
@@ -370,58 +370,66 @@ def _bwd_mlp_kernel(x2_ref, *refs, num_heads):
             ref[...] = jnp.zeros_like(ref)
 
     wd = _wd_mlp(w_refs)
-    dln2_s = dln2_b = dfc1_b = dfc2_b = None
-    for t in range(T):
-        sl = slice(t * BB, (t + 1) * BB)
-        x2 = x2_ref[:, t, :].astype(f32)
+    MLP = wd["fc1_w"].shape[1]
+    # flat (D, T*BB) copies in scratch; columns are LANE slices at
+    # multiples of the 128-lane quantum (sublane-offset slices like
+    # x2_ref[:, t, :] hit a Mosaic limitation — reductions over
+    # offset-layout dims don't compile — and dynamic_slice lowers only
+    # on REFS, so the flats live in scratch, not as values)
+    xfl_scr[:] = x2_ref[:].reshape(D, T * BB)
+    gfl_scr[:] = g_ref[:].reshape(D, T * BB)
+
+    def cs(t):
+        return pl.ds(pl.multiple_of(t * BB, BB), BB)
+
+    def body(t, carry):
+        dln2_s, dln2_b, dfc1_b, dfc2_b = carry
+        x2 = xfl_scr[:, cs(t)].astype(f32)
         _, inv2, xh2, y2 = _ln_col_fwd(x2, wd["ln2_s"], wd["ln2_b"])
-        y2_scr[:, sl] = y2.astype(cdtype)
+        y2_scr[:, cs(t)] = y2.astype(cdtype)
         h = _dense(wd["fc1_w"], wd["fc1_b"], y2.astype(cdtype), cdtype)
-        g_scr[:, sl] = _gelu(h).astype(cdtype)
-        du = g_ref[:, t, :].astype(f32)
+        g_scr[:, cs(t)] = _gelu(h).astype(cdtype)
+        du = gfl_scr[:, cs(t)].astype(f32)
         dgl = dot_dx(wd["fc2_w"], du)
         dh = dgl * _dgelu(h)
-        dh_scr[:, sl] = dh.astype(cdtype)
+        dh_scr[:, cs(t)] = dh.astype(cdtype)
         dy2 = dot_dx(wd["fc1_w"], dh.astype(cdtype))
-        dln2_s = _acc(dln2_s, jnp.sum(dy2 * xh2, axis=1))
-        dln2_b = _acc(dln2_b, jnp.sum(dy2, axis=1))
-        dfc1_b = _acc(dfc1_b, jnp.sum(dh, axis=1))
-        dfc2_b = _acc(dfc2_b, jnp.sum(du, axis=1))
-        dx2_ref[:, t, :] = (du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
+        dx_scr[:, cs(t)] = (du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
                             ).astype(cdtype)
+        return (dln2_s + jnp.sum(dy2 * xh2, axis=1),
+                dln2_b + jnp.sum(dy2, axis=1),
+                dfc1_b + jnp.sum(dh, axis=1),
+                dfc2_b + jnp.sum(du, axis=1))
 
-    du_slab = g_ref[:].reshape(D, T * BB)
-    dW = {"ln2_s": dln2_s, "ln2_b": dln2_b,
-          "fc1_w": dot_dw(y2_scr[:], dh_scr[:]), "fc1_b": dfc1_b,
-          "fc2_w": dot_dw(g_scr[:], du_slab), "fc2_b": dfc2_b}
-    _flush_dw(dw_refs, ("ln2_s", "ln2_b", "fc1_w", "fc1_b",
-                        "fc2_w", "fc2_b"), dW)
+    dln2_s, dln2_b, dfc1_b, dfc2_b = jax.lax.fori_loop(
+        0, T, body, (jnp.zeros((D,), f32), jnp.zeros((D,), f32),
+                     jnp.zeros((MLP,), f32), jnp.zeros((D,), f32)))
+    dx2_ref[:] = dx_scr[:].reshape(D, T, BB)
+    # dw_refs order: (ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b)
+    _flush_one(dw_refs[0], dln2_s)
+    _flush_one(dw_refs[1], dln2_b)
+    _flush_one(dw_refs[2], dot_dw(y2_scr[:], dh_scr[:]))
+    _flush_one(dw_refs[3], dfc1_b)
+    _flush_one(dw_refs[4], dot_dw(g_scr[:], gfl_scr[:]))
+    _flush_one(dw_refs[5], dfc2_b)
 
 
 def _bwd_attn_kernel(x_ref, *refs, num_heads):
     """Backward of the attention half: (x, dx2) -> (dx, dW_attn).
 
-    COLUMN-STREAMING dataflow (r4, same rationale as
-    :func:`_bwd_mlp_kernel`): every slab-sized intermediate lives in an
-    explicit VMEM scratch buffer (y1, qkv, o, do, dqkv) produced/consumed
-    one token column at a time — the r3 version held the recompute slabs,
-    do/da, AND an fp32 qkv weight-grad accumulator live as SSA values,
-    which spilled ~80 MB of vregs and kept this half from compiling at the
-    forward's 256-window grid width. The cross-token attention math
-    (:func:`_probs_lanes` / :func:`_attn_bwd_stream`) reads the scratch
-    REFS directly (free lane slices); the three weight-grad matmuls (qkv,
-    proj) run once per grid step on the streamed slabs, and the LN
-    backward rebuilds xh columns from the input ref + saved (mu, inv)
-    stats instead of keeping the xh slab live."""
+    The attention gradient is consumed COLUMN-WISE: dy1 and the qkv weight
+    grads decompose per token (dy1 cols = qkv_w x dqkv_col; dW_qkv = sum_t
+    y1_col dqkv_col^T), so the (3D, T*BB) dqkv slab is never materialized —
+    only one (3D, BB) column lives at a time. That VMEM cut is what lets
+    this half run the same 256-window grid block as the forward."""
     w_refs = refs[:6]
     g_ref = refs[6]
     dx_ref = refs[7]
     dw_refs = refs[8:14]
-    y1_scr, qkv_scr, o_scr, do_scr, dqkv_scr = refs[14:]
+    (dy1_scr,) = refs[14:]
     D, T, BB = x_ref.shape
     cdtype = x_ref.dtype
     dot_dx, dot_dw = _dots(cdtype)
-    f32 = jnp.float32
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -429,55 +437,56 @@ def _bwd_attn_kernel(x_ref, *refs, num_heads):
             ref[...] = jnp.zeros_like(ref)
 
     wd = _wd_attn(w_refs)
-    # recompute per token column: LN (stats kept for the LN backward) +
-    # qkv dense, streamed into scratch
-    stats = []
-    for t in range(T):
-        sl = slice(t * BB, (t + 1) * BB)
-        x = x_ref[:, t, :].astype(f32)
-        mu, inv, _, y1 = _ln_col_fwd(x, wd["ln1_s"], wd["ln1_b"])
-        stats.append((mu, inv))
-        y1_scr[:, sl] = y1.astype(cdtype)
-        qkv_scr[:, sl] = _dense(wd["qkv_w"], wd["qkv_b"],
-                                y1.astype(cdtype), cdtype).astype(cdtype)
-    # probs tiles + the o columns (o only feeds dW_proj)
-    probs = _probs_lanes(qkv_scr, num_heads, T, BB)
-    _attn_fwd_hb(qkv_scr, num_heads, T, BB, o_ref=o_scr, probs=probs)
-    da_slab = g_ref[:].reshape(D, T * BB)
-    do_scr[:] = dot_dx(wd["proj_w"], da_slab)
-    dW = {"proj_w": dot_dw(o_scr[:], da_slab), "proj_b": None}
-
-    # attention grad columns streamed into dqkv scratch; bias grad summed
-    # from the fp32 column before the storage cast
-    dqkv_b = [None]
+    x = x_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    # recompute up to qkv/probs; the attention output o is consumed
+    # COLUMN-WISE below (it only feeds dW_proj), so it is never
+    # materialized and the proj dense of the fwd is never re-run
+    xh1, inv1, y1f = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
+    qkv = _dense(wd["qkv_w"], wd["qkv_b"], y1f, cdtype).astype(cdtype)
+    y1 = y1f.astype(cdtype)
+    probs = _probs_lanes(qkv, num_heads, T, BB)
+    H = num_heads
+    HD = D // H
+    da = g_ref[:].reshape(D, T * BB).astype(jnp.float32)
+    do = dot_dx(wd["proj_w"], da)
+    dWp = None
+    for tq in range(T):
+        acc_o = None
+        for tk in range(T):
+            vt = qkv[2 * D:, tk * BB:(tk + 1) * BB].astype(jnp.float32)
+            contrib = vt.reshape(HD, H, BB) * probs[tq][tk][None]
+            acc_o = contrib if acc_o is None else acc_o + contrib
+        o_col = acc_o.reshape(D, BB).astype(cdtype)
+        pc = dot_dw(o_col, da[:, tq * BB:(tq + 1) * BB])
+        dWp = pc if dWp is None else dWp + pc
+    # eager flushes (r4): each weight-grad contribution lands in its
+    # output ref the moment it is complete instead of at one end-of-kernel
+    # flush, so the (in, out)-sized fp32 results stop being long-lived
+    # spill-slot residents. dw_refs order:
+    # (ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b)
+    _flush_one(dw_refs[4], dWp)
+    _flush_one(dw_refs[5], jnp.sum(da, axis=1))
+    acc = {"qkv_w": None, "qkv_b": None}
 
     def consume(t, dqkv_col):
-        dqkv_scr[:, t * BB:(t + 1) * BB] = dqkv_col.astype(cdtype)
-        dqkv_b[0] = _acc(dqkv_b[0], jnp.sum(dqkv_col, axis=1))
-
-    _attn_bwd_stream(do_scr, qkv_scr, num_heads, T, BB, consume,
-                     probs=probs)
-    dW["qkv_w"] = dot_dw(y1_scr[:], dqkv_scr[:])
-    dW["qkv_b"] = dqkv_b[0]
-
-    # dy1 + LN backward, column-streamed (xh rebuilt from x_ref + stats)
-    dln1_s = dln1_b = dpb = None
-    for t in range(T):
         sl = slice(t * BB, (t + 1) * BB)
-        dy1 = dot_dx(wd["qkv_w"], dqkv_scr[:, sl])
-        mu, inv = stats[t]
-        xh1 = (x_ref[:, t, :].astype(f32) - mu) * inv
-        dln1_s = _acc(dln1_s, jnp.sum(dy1 * xh1, axis=1))
-        dln1_b = _acc(dln1_b, jnp.sum(dy1, axis=1))
-        da = g_ref[:, t, :].astype(f32)
-        dpb = _acc(dpb, jnp.sum(da, axis=1))
-        dx_ref[:, t, :] = (da + _ln_bwd(dy1, xh1, inv, wd["ln1_s"])
-                           ).astype(cdtype)
-    dW["ln1_s"] = dln1_s
-    dW["ln1_b"] = dln1_b
-    dW["proj_b"] = dpb
-    _flush_dw(dw_refs, ("ln1_s", "ln1_b", "qkv_w", "qkv_b",
-                        "proj_w", "proj_b"), dW)
+        dy1_scr[:, sl] = dot_dx(wd["qkv_w"], dqkv_col).astype(
+            dy1_scr.dtype)
+        contrib = dot_dw(y1[:, sl], dqkv_col)
+        acc["qkv_w"] = contrib if acc["qkv_w"] is None \
+            else acc["qkv_w"] + contrib
+        csum = jnp.sum(dqkv_col, axis=1)
+        acc["qkv_b"] = csum if acc["qkv_b"] is None \
+            else acc["qkv_b"] + csum
+
+    _attn_bwd_stream(do, qkv, num_heads, T, BB, consume, probs=probs)
+    _flush_one(dw_refs[2], acc["qkv_w"])
+    _flush_one(dw_refs[3], acc["qkv_b"])
+    dy1 = dy1_scr[:].astype(jnp.float32)
+    _flush_one(dw_refs[0], jnp.sum(dy1 * xh1, axis=1))
+    _flush_one(dw_refs[1], jnp.sum(dy1, axis=1))
+    dx = da + _ln_bwd(dy1, xh1, inv1, wd["ln1_s"])
+    dx_ref[:] = dx.astype(cdtype).reshape(D, T, BB)
 
 
 def _block_n(n, block):
@@ -569,20 +578,18 @@ def _bwd_impl_slab(xt, x2t, wp, gt, num_heads):
 
     cdtype = xt.dtype
     MLP = wp[8].shape[1]  # fc1_w (D, MLP)
-    # streamed-slab scratch (see the kernels' docstrings): compute-dtype
-    # except do (fp32 — it feeds the softmax backward's dp tiles, where
-    # bf16 rounding would show against the XLA oracle)
     mlp_scratch = [pltpu.VMEM((D, T * bn_mlp), cdtype),        # y2
                    pltpu.VMEM((MLP, T * bn_mlp), cdtype),      # gelu(h)
-                   pltpu.VMEM((MLP, T * bn_mlp), cdtype)]      # dh
-    attn_scratch = [pltpu.VMEM((D, T * bn_attn), cdtype),          # y1
-                    pltpu.VMEM((3 * D, T * bn_attn), cdtype),      # qkv
-                    pltpu.VMEM((D, T * bn_attn), cdtype),          # o
-                    pltpu.VMEM((D, T * bn_attn), jnp.float32),     # do
-                    pltpu.VMEM((3 * D, T * bn_attn), cdtype)]      # dqkv
+                   pltpu.VMEM((MLP, T * bn_mlp), cdtype),      # dh
+                   pltpu.VMEM((D, T * bn_mlp), cdtype),        # dx2 cols
+                   pltpu.VMEM((D, T * bn_mlp), cdtype),        # x flat
+                   pltpu.VMEM((D, T * bn_mlp), cdtype)]        # g flat
     dx2, *dw_mlp = half(_bwd_mlp_kernel, x2t, wl_mlp, gt, mlp_scratch,
                         bn_mlp)
-    dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2, attn_scratch,
+    # scratch: dy1 fp32 (feeds the LN backward + scale/bias grads, where
+    # bf16 rounding would show); the o slab is streamed, never stored
+    dx, *dw_attn = half(_bwd_attn_kernel, xt, wl_attn, dx2,
+                        [pltpu.VMEM((D, T * bn_attn), jnp.float32)],
                         bn_attn)
     dws = list(dw_attn) + list(dw_mlp)
     return dx, tuple(dw.reshape(w.shape).astype(w.dtype)

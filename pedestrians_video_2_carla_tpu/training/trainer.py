@@ -99,6 +99,8 @@ class Trainer:
         mesh = self.mesh
         sshard = state_shardings(mesh, self.state) \
             if self.state is not None else None
+        self._state_shardings = sshard
+        self._scan_runners = {}  # k -> scan-folded resident epoch runner
 
         def train_step(state, batch, rng):
             return flow.training_step(state, constrain_batch(mesh, batch),
@@ -183,42 +185,22 @@ class Trainer:
                 if self.flow.on_epoch_start(epoch):
                     self._build_steps()  # traced constants changed
                 epoch_start = time.perf_counter()
-                train_iter = self.dm.train_batches(self.config.seed + epoch)
-                if limit is not None:
-                    import itertools
-                    train_iter = itertools.islice(train_iter, limit)
-                # background host->device prefetch overlapping device compute
-                from ..runtime.prefetcher import DevicePrefetcher
-                train_iter = DevicePrefetcher(
-                    train_iter, put_fn=lambda b: shard_batch(self.mesh, b))
-                # keep only the most recent step's device logs (retaining
-                # every step's logs for a whole epoch pins device memory) and
-                # sync to host only at the throttled log interval
-                last_logs = None
-                for batch_idx, batch in enumerate(train_iter):
-                    self.state, logs = self._train_step(
-                        self.state, batch, rng)
-                    global_step += 1
-                    last_logs = logs
-                    if global_step % self.config.log_every_n_steps == 0:
-                        host_logs = jax.device_get(logs)
-                        self.logger.log_scalars(
-                            global_step,
-                            {**{k: float(v) for k, v in host_logs.items()},
-                             # per-step effective lrs (reference
-                             # LearningRateMonitor)
-                             **self.flow.current_lrs(self.state)})
-                        if self.config.detect_anomaly:
-                            self._check_anomaly(host_logs, global_step)
-                    # throttled training-time qualitative videos (reference
-                    # ``flow/base.py:489-510`` logs videos during training
-                    # through the PedestrianLogger's step throttle); the
-                    # projections come from one extra eval pass on the
-                    # current train batch, paid only at throttle hits
-                    if self.video_logger is not None \
-                            and self.is_main_process \
-                            and self.video_logger.should_log(global_step):
-                        self._log_train_videos(batch, global_step, batch_idx)
+                # device-resident train subsets run the epoch scan-folded
+                # (K steps per dispatch) unless training-time video logging
+                # needs per-batch host materialization
+                scan_spec = None
+                if self.video_logger is None:
+                    spec_fn = getattr(self.dm, "resident_scan_inputs", None)
+                    if spec_fn is not None:
+                        scan_spec = spec_fn("train", shuffle=True,
+                                            training=True,
+                                            seed=self.config.seed + epoch)
+                if scan_spec is not None:
+                    last_logs, global_step = self._fit_epoch_scanned(
+                        scan_spec, limit, rng, global_step)
+                else:
+                    last_logs, global_step = self._fit_epoch_streamed(
+                        limit, rng, global_step, epoch)
 
                 epoch_time = time.perf_counter() - epoch_start
                 summary = {"epoch": epoch, "epoch_time_s": epoch_time}
@@ -245,6 +227,89 @@ class Trainer:
         # declaring the fit done
         self.checkpoints.wait()
         return self.state
+
+    def _fit_epoch_streamed(self, limit, rng, global_step, epoch):
+        """The per-batch training epoch: datamodule iterator -> background
+        host->device prefetch -> one jitted train step per batch."""
+        train_iter = self.dm.train_batches(self.config.seed + epoch)
+        if limit is not None:
+            import itertools
+            train_iter = itertools.islice(train_iter, limit)
+        # background host->device prefetch overlapping device compute
+        from ..runtime.prefetcher import DevicePrefetcher
+        train_iter = DevicePrefetcher(
+            train_iter, put_fn=lambda b: shard_batch(self.mesh, b))
+        # keep only the most recent step's device logs (retaining
+        # every step's logs for a whole epoch pins device memory) and
+        # sync to host only at the throttled log interval
+        last_logs = None
+        for batch_idx, batch in enumerate(train_iter):
+            self.state, logs = self._train_step(
+                self.state, batch, rng)
+            global_step += 1
+            last_logs = logs
+            if global_step % self.config.log_every_n_steps == 0:
+                host_logs = jax.device_get(logs)
+                self.logger.log_scalars(
+                    global_step,
+                    {**{k: float(v) for k, v in host_logs.items()},
+                     # per-step effective lrs (reference
+                     # LearningRateMonitor)
+                     **self.flow.current_lrs(self.state)})
+                if self.config.detect_anomaly:
+                    self._check_anomaly(host_logs, global_step)
+            # throttled training-time qualitative videos (reference
+            # ``flow/base.py:489-510`` logs videos during training
+            # through the PedestrianLogger's step throttle); the
+            # projections come from one extra eval pass on the
+            # current train batch, paid only at throttle hits
+            if self.video_logger is not None \
+                    and self.is_main_process \
+                    and self.video_logger.should_log(global_step):
+                self._log_train_videos(batch, global_step, batch_idx)
+        return last_logs, global_step
+
+    def _fit_epoch_scanned(self, spec, limit, rng, global_step):
+        """Device-resident training epoch, scan-folded: chunks of
+        K = log_every_n_steps train steps run as ONE jitted
+        ``lax.scan(gather + preprocess + step)`` dispatch with donated
+        state (``runtime/resident_scan.py``) — per-batch host dispatch
+        cost drops to ~1/K. Per-step scalar logs come back stacked, so
+        the logging cadence and ``--detect_anomaly`` see exactly the same
+        values as per-batch iteration (lrs are read at chunk end — they
+        are epoch-granular schedules, constant within a chunk)."""
+        from ..runtime.resident_scan import build_scan_runner
+        gather, key, order_d, num_batches, trees = spec
+        nb = num_batches if limit is None else min(limit, num_batches)
+        K = max(1, min(self.config.log_every_n_steps, nb))
+        last_logs = None
+        b0 = 0
+        while b0 < nb:
+            k = min(K, nb - b0)
+            runner = self._scan_runners.get(k)
+            if runner is None:
+                runner = self._scan_runners[k] = build_scan_runner(
+                    self.flow, gather, k,
+                    constrain=lambda b: constrain_batch(self.mesh, b),
+                    state_shardings=self._state_shardings)
+            self.state, logs_stack = runner(self.state, rng, key, order_d,
+                                            b0, *trees)
+            hits = [j for j in range(k)
+                    if (global_step + j + 1)
+                    % self.config.log_every_n_steps == 0]
+            if hits:
+                host = jax.device_get(logs_stack)
+                for j in hits:
+                    step_logs = {kk: float(v[j]) for kk, v in host.items()}
+                    self.logger.log_scalars(
+                        global_step + j + 1,
+                        {**step_logs, **self.flow.current_lrs(self.state)})
+                    if self.config.detect_anomaly:
+                        self._check_anomaly(step_logs, global_step + j + 1)
+            global_step += k
+            b0 += k
+            last_logs = jax.tree_util.tree_map(lambda x: x[-1], logs_stack)
+        return last_logs, global_step
 
     def _check_anomaly(self, host_logs, global_step: int) -> None:
         """--detect_anomaly: abort with a diagnostic when a logged loss OR

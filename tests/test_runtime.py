@@ -144,3 +144,75 @@ def test_device_resident_empty_subset_yields_nothing(tmp_path, rng):
     dm.setup("fit")
     assert len(list(dm.train_batches(0))) == 2
     assert list(dm.val_batches()) == []
+
+
+def test_resident_scan_matches_per_batch_steps(tmp_path, rng):
+    """The scan-folded resident epoch (runtime/resident_scan.py, K train
+    steps in one dispatch) must produce bit-identical state and per-step
+    logs to driving the per-batch resident iterator through training_step
+    (VERDICT r3 #3: amortize per-batch dispatch; correctness contract is
+    exact equality of the training trajectory)."""
+    import jax
+
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.runtime.resident_scan import \
+        build_scan_runner
+    from pedestrians_video_2_carla_tpu.skeletons import CARLA_SKELETON
+
+    n = 16
+    save_subset(str(tmp_path / "train.hdf5"),
+                rng.normal(size=(n, 4, 26, 2)).astype(np.float32) + 300,
+                {"absolute_pose_loc":
+                 rng.normal(size=(n, 4, 26, 3)).astype(np.float32)},
+                {"age": ["adult"] * n, "gender": ["female"] * n})
+    dm = SubsetsDataModule(subsets_dir=str(tmp_path), batch_size=4,
+                           clip_length=4, data_nodes=CARLA_SKELETON,
+                           device_resident=True)
+    dm.prepare_data()
+    dm.setup("fit")
+
+    def make_state(flow):
+        first = next(iter(dm.train_batches(seed=3)))
+        return flow.init_state(jax.random.PRNGKey(0), first)
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["Linear"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-2))
+    rng_step = jax.random.PRNGKey(7)
+
+    # per-batch trajectory
+    state_a = make_state(flow)
+    step = jax.jit(flow.training_step)
+    logs_a = []
+    for b in dm.train_batches(seed=3):
+        state_a, logs = step(state_a, b, rng_step)
+        logs_a.append(jax.device_get(logs))
+
+    # scan-folded trajectory (all 4 batches in one dispatch)
+    spec = dm.resident_scan_inputs("train", shuffle=True, training=True,
+                                   seed=3)
+    gather, key, order_d, num_batches, trees = spec
+    assert num_batches == 4
+    state_b = make_state(flow)
+    runner = build_scan_runner(flow, gather, k=num_batches)
+    state_b, logs_stack = runner(state_b, rng_step, key, order_d, 0, *trees)
+    logs_stack = jax.device_get(logs_stack)
+
+    for la, lb in zip(logs_a, [
+            {k: v[j] for k, v in logs_stack.items()}
+            for j in range(num_batches)]):
+        assert set(la) == set(lb)
+        for k in la:
+            np.testing.assert_array_equal(la[k], lb[k], err_msg=k)
+    for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
