@@ -38,15 +38,9 @@ def _enable_compile_cache():
     Env-overridable for A/B (BENCH_NO_COMPILE_CACHE=1)."""
     if os.environ.get("BENCH_NO_COMPILE_CACHE"):
         return
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         os.path.join(_REPO, ".jax_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_raise_persistent_cache_errors", False)
-    except Exception:
-        pass  # older jax without the knobs: run uncached
+    from pedestrians_video_2_carla_tpu.utils.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
 
 _enable_compile_cache()

@@ -364,6 +364,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         except Exception:
             pass
 
+    # persistent compilation cache: repeated runs of the same config skip
+    # the 20-300 s TPU train-step compiles entirely (utils/compile_cache.py)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     # ---- build models -------------------------------------------------
     skeleton_kwargs = {}
     data_nodes = args.data_nodes \

@@ -135,10 +135,14 @@ def _attn_fwd(qkv, num_heads, J, BB):
     return o.reshape(E, J * BB), probs
 
 
-def _attn_bwd(do, qkv, num_heads, J, BB):
-    """do: (E, J*BB) fp32 -> dqkv (3E, J*BB) fp32. The attention
-    probabilities are recomputed ONE HEAD AT A TIME (keeping all heads'
-    probs live overflowed the 16 MB scoped-VMEM default at BB=128)."""
+def _attn_bwd(do, qkv, num_heads, J, BB, probs=None):
+    """do: (E, J*BB) fp32 -> dqkv (3E, J*BB) fp32. ``probs``: the forward
+    sweep's per-head probability list — the whole-stack backward kernel
+    keeps it in VMEM (r4), which removes the score/softmax recompute here
+    (~1x the forward attention VPU work, and attention dominates this
+    layout-bound stage). Without it the probabilities are recomputed ONE
+    HEAD AT A TIME (keeping all heads' probs live overflowed the 16 MB
+    scoped-VMEM default at BB=128 before the limit was raised)."""
     E = qkv.shape[0] // 3
     HD = E // num_heads
     scale = float(HD) ** -0.5
@@ -147,14 +151,17 @@ def _attn_bwd(do, qkv, num_heads, J, BB):
     dk_rows = [None] * E
     dv_rows = [None] * E
     for h in range(num_heads):
-        s = jnp.zeros((J, J, BB), jnp.float32)
-        for d in range(HD):
-            qs = qkv[h * HD + d] * scale
-            kh = qkv[E + h * HD + d]
-            s = s + qs[:, None, :] * kh[None, :, :]
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
+        if probs is not None:
+            p = probs[h]
+        else:
+            s = jnp.zeros((J, J, BB), jnp.float32)
+            for d in range(HD):
+                qs = qkv[h * HD + d] * scale
+                kh = qkv[E + h * HD + d]
+                s = s + qs[:, None, :] * kh[None, :, :]
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
         dp = jnp.zeros((J, J, BB), jnp.float32)
         for d in range(HD):
             do_hd = do3[h * HD + d]
@@ -173,14 +180,16 @@ def _attn_bwd(do, qkv, num_heads, J, BB):
 
 
 def _block_fwd(x, wd, num_heads, J, BB, cdtype, attn_fwd=None,
-               res_dtype=None):
+               res_dtype=None, keep_probs=False):
     """One transformer block on (E, M) slabs. ``x`` fp32; ``wd`` the
     per-depth weight dict. Returns (x_next fp32, residuals dict).
     ``attn_fwd`` lets callers swap the attention inner loop (the fused
     temporal kernel uses a head-batched variant; default is this module's
     per-head/per-dim spatial formulation). ``res_dtype`` stores the large
     residual slabs in that dtype (the temporal kernel passes the compute
-    dtype to halve the backward's VMEM live set; default keeps fp32)."""
+    dtype to halve the backward's VMEM live set; default keeps fp32).
+    ``keep_probs`` adds the attention probabilities to the residuals so
+    the backward sweep skips the score/softmax recompute."""
     E = x.shape[0]
     rd = res_dtype or jnp.float32
     xh1, inv1, y1 = _ln_fwd(x, wd["ln1_s"], wd["ln1_b"])
@@ -198,6 +207,8 @@ def _block_fwd(x, wd, num_heads, J, BB, cdtype, attn_fwd=None,
                qkv3=qkv3.astype(rd), o=o.astype(rd),
                xh2=xh2.astype(rd), inv2=inv2, y2=y2.astype(rd),
                h=h.astype(rd), g=g.astype(rd))
+    if keep_probs and probs is not None:
+        res["probs"] = probs
     return x3, res
 
 
@@ -250,8 +261,12 @@ def _block_bwd(dx3, x_in, wd, res, num_heads, J, BB, attn_bwd=None,
     do = dot_dx(wd["proj_w"], da)
     dW["proj_w"] = dot_dw(res["o"], da)
     dW["proj_b"] = jnp.sum(da, axis=1)
-    # attention (probs recomputed per head inside)
-    dqkv = (attn_bwd or _attn_bwd)(do, res["qkv3"], num_heads, J, BB)
+    # attention (forward-sweep probs reused when the residuals carry them)
+    if attn_bwd is not None:
+        dqkv = attn_bwd(do, res["qkv3"], num_heads, J, BB)
+    else:
+        dqkv = _attn_bwd(do, res["qkv3"], num_heads, J, BB,
+                         probs=res.get("probs"))
     # qkv = qkv_w(y1)
     dy1 = dot_dx(wd["qkv_w"], dqkv)
     dW["qkv_w"] = dot_dw(res["y1"], dqkv)
@@ -319,7 +334,8 @@ def _bwd_kernel(x_ref, *refs, num_heads):
     for d in range(depth):
         xs.append(x)
         wd = _weights_at(w_refs, d)
-        x, res = _block_fwd(x, wd, num_heads, J, BB, cdtype)
+        x, res = _block_fwd(x, wd, num_heads, J, BB, cdtype,
+                            keep_probs=True)
         ress.append(res)
 
     # final LayerNorm backward
