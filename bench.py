@@ -739,7 +739,7 @@ def task_host_pipeline(num_clips=16384, batch=BATCH, epochs=2):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def task_resident_pipeline(num_clips=16384, batch=BATCH, epochs=3):
+def task_resident_pipeline(num_clips=16384, batch=BATCH, epochs=6):
     """Device-resident epoch throughput, scan-folded (r4, VERDICT r3 #3):
     the whole subset lives in HBM once and the epoch runs as chunks of
     K=16 train steps per ``jit(lax.scan(gather + preprocess + step))``
@@ -803,12 +803,19 @@ def task_resident_pipeline(num_clips=16384, batch=BATCH, epochs=3):
                 state, logs = runner_box["run"](state, rng, key, order_d,
                                                 b0, *trees)
                 n += batch * K
-            _sync(logs)
-            return n
+            return n, logs
 
-        run_epoch(0)  # warmup epoch: compiles the folded scan
+        _sync(run_epoch(0)[1])  # warmup epoch: compiles the folded scan
+        # ONE sync for the whole timed window: a per-epoch sync costs a
+        # ~33 ms tunnel RTT each — at one dispatch per epoch that was the
+        # dominant term (dispatches queue asynchronously across epochs)
         t0 = time.perf_counter()
-        total = sum(run_epoch(e + 1) for e in range(epochs))
+        total = 0
+        logs = None
+        for e in range(epochs):
+            n, logs = run_epoch(e + 1)
+            total += n
+        _sync(logs)
         cps = total / (time.perf_counter() - t0)
         RESULTS["resident_pipeline_clips_per_sec"] = round(cps, 2)
         return cps

@@ -292,7 +292,13 @@ class PoseFormer(MovementsModel):
         t = nn.Dropout(self.drop_rate, deterministic=not training)(t)
         t_kernel = self.temporal_kernel
         if t_kernel == "auto":
+            # bf16 only: the fused temporal blocks are sized to VMEM for
+            # bf16 slabs (fwd 256 / bwd 256+128 windows per grid step) —
+            # fp32 doubles every buffer and the backward halves exceed the
+            # 128 MB VMEM at ANY batch (widths can't halve below the
+            # 128-lane quantum), so fp32 "auto" keeps the flax blocks
             t_kernel = "pallas" if (jax.default_backend() == "tpu"
+                                    and t.dtype == jnp.bfloat16
                                     and not block_dropout) else "xla"
         if t_kernel == "pallas":
             if block_dropout:
