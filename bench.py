@@ -889,29 +889,33 @@ def task_serving(batch_size=BATCH, clip_length=CLIP, steps=30, warmup=5):
 def main():
     _start_failsafe()
     try:
-        # priority order: the headline + the VERDICT-demanded configs
-        # (PoseFormer, VideoPose3D) first; everything after is upside.
-        _run_task("headline_xla", lambda: _headline_step_rate("xla"),
-                  min_budget_s=0)  # always attempt the headline
-        _run_task("cpu_reference_fk", task_cpu_reference_fk, min_budget_s=20)
+        # Priority order (r4): cheapest-to-warm first. Both headline
+        # kernels are measured and `value` is the faster median, so the
+        # pallas_train headline (seconds, warm) banks the headline BEFORE
+        # anything slow runs; remote-compile latency has been observed to
+        # spike pathologically (60 -> 700 s for the same cached task), so
+        # no single task may starve the core evidence list behind it.
         _run_task("headline_pallas_train",
                   lambda: _headline_step_rate("pallas_train"),
-                  min_budget_s=120)
+                  min_budget_s=0)  # always attempt the headline
+        _run_task("cpu_reference_fk", task_cpu_reference_fk, min_budget_s=20)
         _run_task("fk_micro", task_fk_micro, min_budget_s=90)
         if not os.environ.get("BENCH_HEADLINE_ONLY"):
             _run_task("poseformer_bf16", lambda: task_poseformer("bf16"),
                       min_budget_s=150)
             _run_task("videopose3d", lambda: task_videopose3d("32"),
                       min_budget_s=120)
-            # the two input-pipeline numbers (VERDICT r2 #3) outrank the
-            # remaining configs: they are the production-throughput story
+            # input-pipeline + graph-family numbers (VERDICT r2 #3, r3 #4)
             _run_task("resident_pipeline", task_resident_pipeline,
                       min_budget_s=120)
+            _run_task("classification", task_classification, min_budget_s=150)
+        _run_task("headline_xla", lambda: _headline_step_rate("xla"),
+                  min_budget_s=120)
+        if not os.environ.get("BENCH_HEADLINE_ONLY"):
             _run_task("host_pipeline", task_host_pipeline, min_budget_s=120)
             _run_task("pallas_micro", task_pallas_micro, min_budget_s=90)
             _run_task("seq2seq_ae", lambda: task_seq2seq("32"),
                       min_budget_s=120)
-            _run_task("classification", task_classification, min_budget_s=150)
             _run_task("serving", task_serving, min_budget_s=120)
             # lower-priority precision variants only with budget to spare
             _run_task("poseformer_fp32", lambda: task_poseformer("32"),
