@@ -239,8 +239,11 @@ class _GraphGRUCellMixin:
     # z and r both convolve h -> one fused matmul; h~ convolves r*h
     _hidden_groups = (("z", "r"), ("h",))
     _pallas_cell = "gru"
-    # fp32 only: bf16's unrolled XLA scan is ~8% faster (5.09 vs 5.56 ms)
-    _pallas_auto_dtypes = (jnp.float32,)
+    # both precisions since the r4 slab-resident restructure: bf16 pallas
+    # 2.74 ms vs 4.93 ms XLA on the B256/L16 train step (the pre-r4
+    # "bf16 XLA wins by 8%" measurement was dominated by the per-layer
+    # relayouts that no longer exist)
+    _pallas_auto_dtypes = (jnp.float32, jnp.bfloat16)
 
     def _pallas_scan_slabs(self, fg, xg, a_ops, params, J):
         wzr = jnp.concatenate(
