@@ -81,36 +81,111 @@ _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
 
+# r5 (VERDICT r4 #1): the driver captures only the LAST ~2000 chars of
+# stdout; r4's single line grew past that and arrived as `parsed: null`,
+# hiding the headline and every PoseFormer-bf16 key. The emitted line is
+# now hard-capped (compact flat keys, rooflines as short strings) and the
+# full uncompressed matrix goes to BENCH_DETAIL.json beside the repo.
+MAX_LINE_CHARS = 1800
+DETAIL_FILE = "BENCH_DETAIL.json"
+
+
+def _compact_value(key, value):
+    """One RESULTS entry as it appears on the emitted line, or None to
+    route it to the detail file only."""
+    if "slope_estimates" in key or key == "task_seconds":
+        return None
+    if isinstance(value, dict):  # roofline dict -> "46.4% MFU, hbm 144%"
+        parts = []
+        if value.get("mfu_pct") is not None:
+            parts.append(f"{value['mfu_pct']:.0f}% MFU")
+        if value.get("hbm_util_pct") is not None:
+            parts.append(f"hbm {value['hbm_util_pct']:.0f}%")
+        return ", ".join(parts) or None
+    if isinstance(value, str):
+        return value if len(value) <= 80 else value[:80]
+    return value
+
+
+def _build_payload():
+    """(compact_line_str, full_detail_dict). The compact line is guaranteed
+    <= MAX_LINE_CHARS: if the flat keys alone ever outgrow the cap, keys are
+    dropped longest-line-contribution-first with a `dropped_keys` count (the
+    full set is always in the detail file)."""
+    full = {
+        "config": "LinearAE pose_lifting, batch 1024, clip 16, "
+                  "CARLA in/out, loss=loc_2d_3d",
+        **dict(RESULTS),
+    }
+    if SKIPPED:
+        full["timed_out_after"] = list(SKIPPED)
+    full["bench_deadline_s"] = DEADLINE.limit
+    full["bench_elapsed_s"] = round(time.monotonic() - DEADLINE.t0, 1)
+    full["task_seconds"] = {k: round(v, 1) for k, v in dict(TIMINGS).items()}
+
+    detail = {}
+    for k, v in full.items():
+        if k in ("config", "task_seconds", "bench_deadline_s"):
+            continue
+        cv = _compact_value(k, v)
+        if cv is not None:
+            detail[k] = cv
+    detail["full_matrix"] = DETAIL_FILE
+
+    def line_for(d):
+        return json.dumps({
+            "metric": "pose_lifting_train_clips_per_sec_per_chip",
+            "value": HEADLINE["value"],
+            "unit": "clips/s",
+            "vs_baseline": HEADLINE["vs_baseline"],
+            "detail": d,
+        })
+
+    payload = line_for(detail)
+    if len(payload) > MAX_LINE_CHARS:
+        # drop roofline strings first, then errors, then longest keys
+        order = sorted(
+            detail, key=lambda k: (
+                0 if k.endswith("roofline") or "roofline_" in k else
+                1 if k.endswith("_error") else 2,
+                -len(json.dumps({k: detail[k]}))))
+        dropped = 0
+        for k in order:
+            if k == "full_matrix":
+                continue
+            del detail[k]
+            dropped += 1
+            detail["dropped_keys"] = dropped
+            payload = line_for(detail)
+            if len(payload) <= MAX_LINE_CHARS:
+                break
+    return payload, full
+
+
 def _emit():
-    """Print the ONE JSON line (idempotent, thread-safe). _EMITTED is set
-    only AFTER a successful print: the failsafe thread can fire while the
-    main thread is mutating RESULTS, and a dict-changed-during-iteration
-    error here must not suppress the line forever (the whole point of the
-    deadline contract is that the line always comes out)."""
+    """Print the ONE JSON line (idempotent, thread-safe) and write the full
+    uncompressed matrix to BENCH_DETAIL.json. _EMITTED is set only AFTER a
+    successful print: the failsafe thread can fire while the main thread is
+    mutating RESULTS, and a dict-changed-during-iteration error here must
+    not suppress the line forever (the whole point of the deadline contract
+    is that the line always comes out)."""
     global _EMITTED
     with _EMIT_LOCK:
         if _EMITTED:
             return
         try:
-            detail = {
-                "config": "LinearAE pose_lifting, batch 1024, clip 16, "
-                          "CARLA in/out, loss=loc_2d_3d",
-                **dict(RESULTS),
-            }
-            if SKIPPED:
-                detail["timed_out_after"] = list(SKIPPED)
-            detail["bench_deadline_s"] = DEADLINE.limit
-            detail["bench_elapsed_s"] = round(
-                time.monotonic() - DEADLINE.t0, 1)
-            detail["task_seconds"] = {k: round(v, 1)
-                                      for k, v in dict(TIMINGS).items()}
-            payload = json.dumps({
-                "metric": "pose_lifting_train_clips_per_sec_per_chip",
-                "value": HEADLINE["value"],
-                "unit": "clips/s",
-                "vs_baseline": HEADLINE["vs_baseline"],
-                "detail": detail,
-            })
+            payload, full = _build_payload()
+            try:
+                with open(os.path.join(_REPO, DETAIL_FILE), "w") as f:
+                    json.dump({
+                        "metric": "pose_lifting_train_clips_per_sec_per_chip",
+                        "value": HEADLINE["value"],
+                        "unit": "clips/s",
+                        "vs_baseline": HEADLINE["vs_baseline"],
+                        "detail": full,
+                    }, f, indent=1)
+            except Exception:  # read-only fs must not kill the line
+                pass
         except Exception as e:  # concurrent mutation / unserializable value
             payload = json.dumps({
                 "metric": "pose_lifting_train_clips_per_sec_per_chip",
