@@ -171,12 +171,21 @@ class BaseFlow:
         return FlowState(params=params, mutables=mutables,
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
-    def current_lrs(self, state: "FlowState") -> Dict[str, float]:
+    def current_lrs(self, state: "FlowState",
+                    at_step: int = None) -> Dict[str, float]:
         """Effective per-model learning rates for step logging (the
         reference attaches Lightning's ``LearningRateMonitor``,
         ``modeling.py:240-247``). Schedule-based lrs are recomputed from the
         step counter; ReduceLROnPlateau's stateful scale is read out of the
-        optimizer state."""
+        optimizer state.
+
+        ``at_step`` recomputes the schedule-based lrs at a specific global
+        step instead of ``state.step`` — the scan-folded trainer logs
+        mid-chunk hits from chunk-end state, where per-step schedules
+        (CosineAnnealingWarmRestarts, StepLR at epoch edges) would
+        otherwise read up to K-1 steps ahead. The plateau scale still
+        comes from ``state`` (it is stateful, not a step function; it
+        moves once per epoch so it is constant within a chunk)."""
         def plateau_scale(tree, name=None):
             # prefer the per-model subtree (multi_transform keys its
             # inner_states dict by model name) so two plateau schedulers
@@ -211,7 +220,8 @@ class BaseFlow:
                     return found
             return None
 
-        step = int(jax.device_get(state.step))
+        step = (int(at_step) if at_step is not None
+                else int(jax.device_get(state.step)))
         out = {}
         for name, settings in self.optimizer_settings_map().items():
             lr = settings.learning_rate

@@ -200,6 +200,19 @@ class _GraphGatedRecurrent(ClassificationModel):
         via ``_use_pallas``)."""
         raise NotImplementedError
 
+    def _layer_pallas(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        """ONE recurrent layer through the fused kernel with (B, L, J, C)
+        in/out — the entry point for subclasses whose head shape differs
+        from the two-layer ``_call_slab_resident`` (SpatialTemporalGNN's
+        single k=3 layer). Pays one ``to_slabs``/``from_slabs`` round-trip;
+        multi-layer stacks should stay in ``_call_slab_resident``."""
+        from ...ops.pallas import fused_graph_gru as fg
+        B, L, J, C = x.shape
+        a_ops = jnp.asarray(fg.kron_cheb_ops(self._operator(), self.k))
+        xs, B = fg.to_slabs(x)
+        ys = self._layer_slab(name, xs, a_ops, J)
+        return fg.from_slabs(ys, B, J)
+
     def _call_slab_resident(self, x, training: bool):
         """The fused-kernel forward, slab-resident END TO END: ONE
         ``to_slabs`` of the tiny (B, L, J, C_in) input, both layers +
@@ -395,8 +408,16 @@ class SpatialTemporalGNN(_GraphGRUCellMixin, _GraphGatedRecurrent):
 
     @nn.compact
     def __call__(self, x, targets=None, training: bool = False):
-        op = jnp.asarray(self._operator(), dtype=x.dtype)
-        h = self._layer("rnn1", x[..., :self.input_features], op)
+        x = x[..., :self.input_features]
+        # the overridden head must keep the base dispatch: graph_kernel
+        # "pallas" routes the single layer through the fused kernel (the
+        # k=3 tiny-H entry point); "auto" keeps the XLA scan (H=3 is far
+        # below the kernel's MXU-sized win threshold, see _use_pallas)
+        if self._use_pallas(x.dtype):
+            h = self._layer_pallas("rnn1", x)
+        else:
+            op = jnp.asarray(self._operator(), dtype=x.dtype)
+            h = self._layer("rnn1", x, op)
         h = nn.Dropout(self.p_dropout, deterministic=not training)(h)
         h = nn.relu(h)
         B, L, J, F = h.shape

@@ -276,8 +276,10 @@ class Trainer:
         state (``runtime/resident_scan.py``) — per-batch host dispatch
         cost drops to ~1/K. Per-step scalar logs come back stacked, so
         the logging cadence and ``--detect_anomaly`` see exactly the same
-        values as per-batch iteration (lrs are read at chunk end — they
-        are epoch-granular schedules, constant within a chunk)."""
+        values as per-batch iteration (schedule-based lrs are recomputed
+        at each hit's own step via ``current_lrs(at_step=...)``; the
+        plateau scale moves once per epoch, so chunk-end state is exact
+        for it)."""
         from ..runtime.resident_scan import build_scan_runner
         gather, key, order_d, num_batches, trees = spec
         nb = num_batches if limit is None else min(limit, num_batches)
@@ -303,7 +305,8 @@ class Trainer:
                     step_logs = {kk: float(v[j]) for kk, v in host.items()}
                     self.logger.log_scalars(
                         global_step + j + 1,
-                        {**step_logs, **self.flow.current_lrs(self.state)})
+                        {**step_logs, **self.flow.current_lrs(
+                            self.state, at_step=global_step + j + 1)})
                     if self.config.detect_anomaly:
                         self._check_anomaly(step_logs, global_step + j + 1)
             global_step += k

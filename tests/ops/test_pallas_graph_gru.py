@@ -79,6 +79,30 @@ def test_backward_matches_autodiff(name, kwargs):
     jax.tree_util.tree_map(close, gp_k, gp_r)
 
 
+@pytest.mark.parametrize("name,kwargs,entry", [
+    ("GConvGRU", dict(hidden_size=H), "graph_gru_scan"),
+    ("SpatialTemporalGNN", dict(), "graph_gru_scan"),  # k=3 via _layer_pallas
+    ("GConvLSTM", dict(hidden_size=H), "graph_lstm_scan"),
+])
+def test_pallas_config_takes_kernel_path(name, kwargs, entry, monkeypatch):
+    """graph_kernel='pallas' must actually dispatch to the fused kernel —
+    a silent XLA fallback makes every parity test above vacuous (advisor
+    r4: SpatialTemporalGNN's overridden __call__ skipped the dispatch, so
+    the k=3/tiny-H kernel path had no entry point and no coverage)."""
+    from pedestrians_video_2_carla_tpu.ops.pallas import fused_graph_gru as fg
+    calls = []
+    orig = getattr(fg, entry)
+
+    def probe(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fg, entry, probe)
+    _, pallas, params, x = _pair(name, kwargs)
+    pallas.apply(params, x)
+    assert calls, f"{name} with graph_kernel='pallas' never hit fg.{entry}"
+
+
 def test_bf16_close_to_fp32():
     xla, pallas, params, x = _pair("GConvGRU", dict(hidden_size=H))
     ref = np.asarray(pallas.apply(params, x), np.float32)

@@ -912,6 +912,9 @@ def main():
             thr_mm = 350.0
             entry["basin_stats"] = {"bad_basin_threshold_mm": thr_mm}
             for side in ("torch", "jax"):
+                if side not in entry:  # --sides limited to one side against
+                    continue           # a fresh results file: stats stay
+                                       # partial until the other side runs
                 finals = [r["final"][1] for r in entry[side]]
                 good = [f for f in finals if f < thr_mm]
                 entry["basin_stats"][side] = {
