@@ -695,12 +695,16 @@ def task_seq2seq(precision):
     return cps
 
 
-def task_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
+def task_classification(batch_size=256, clip_length=16, steps=20, warmup=5,
+                        precision="32"):
     """BASELINE config 3: crossing-classification train step (the
     JAADOpenPose benchmark flow's compute shape — BODY_25 keypoints remapped
     to the CARLA skeleton feed the same (B, L, 26, C) classifier step;
     reference ``modules/flow/classification.py:97-158``). Reported for the
-    reference's two families: LSTM and the dense-adjacency GConvGRU GNN."""
+    reference's two families: LSTM and the dense-adjacency GConvGRU GNN,
+    at both precisions (r5, VERDICT r4 #4: the bf16 column was never
+    driver-captured, yet the GRU-family bf16 'auto' kernel choice rests
+    on it)."""
     import jax
     import numpy as np
 
@@ -720,12 +724,14 @@ def task_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
     batch = (inputs, {**targets, "crossing": labels}, meta)
     batch = jax.tree_util.tree_map(lambda x: x.block_until_ready(), batch)
 
+    suffix = "" if precision == "32" else "_bf16"
     for model_name in ("LSTM", "GConvGRU"):
         if DEADLINE.remaining() < 60:
             raise BenchTimeout
         flow = ClassificationFlow(
             classification_model=CLASSIFICATION_MODELS[model_name](),
-            classification_optimizer=OptimizerSettings(lr=1e-3))
+            classification_optimizer=OptimizerSettings(lr=1e-3),
+            precision=precision)
         state = flow.init_state(jax.random.PRNGKey(1), batch)
         rng = training_rng(2)
         train_step = jax.jit(flow.training_step, donate_argnums=(0,)) \
@@ -738,9 +744,57 @@ def task_classification(batch_size=256, clip_length=16, steps=20, warmup=5):
 
         dt = _timed_loop(step, steps, warmup=warmup)
         cps = batch_size * steps / dt
-        RESULTS[f"classification_{model_name.lower()}_clips_per_sec"] = \
-            round(cps, 2)
+        RESULTS[f"classification_{model_name.lower()}_clips_per_sec"
+                f"{suffix}"] = round(cps, 2)
     return None
+
+
+def task_serving_poseformer(batch_size=256, clip_length=16, steps=30,
+                            warmup=5):
+    """Serving latency of the FLAGSHIP transformer (r5, VERDICT r4 #7):
+    PoseFormer bf16 exported via --mode=export (fused Pallas
+    spatial/temporal kernels serialize as versioned Mosaic
+    ``tpu_custom_call``s) and timed through the deserialized artifact,
+    like ``task_serving`` does for LinearAE."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from pedestrians_video_2_carla_tpu.data.carla.carla_2d3d import (
+        Carla2D3DConfig, generate_batch)
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.serving import (export_inference,
+                                                       load_inference)
+
+    cfg = Carla2D3DConfig(batch_size=batch_size, clip_length=clip_length)
+    batch = generate_batch(jax.random.PRNGKey(0), cfg)
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["PoseFormer"](),
+        loss_modes=[LossModes.loc_2d_3d],
+        movements_optimizer=OptimizerSettings(lr=1e-3),
+        precision="bf16")
+    state = flow.init_state(jax.random.PRNGKey(1), batch)
+    inputs = np.asarray(batch[0])
+    agi = np.asarray(batch[2]["age_gender_idx"])
+    with tempfile.TemporaryDirectory() as d:
+        path = export_inference(flow, state, inputs, agi,
+                                os.path.join(d, "poseformer.jaxexp"),
+                                output_keys=("absolute_pose_loc",))
+        call, _ = load_inference(path)
+        served = jax.jit(call)
+        inputs_dev = jax.device_put(inputs)
+        agi_dev = jax.device_put(agi)
+        dt = _timed_loop(lambda: served(inputs_dev, agi_dev),
+                         steps, warmup=warmup)
+    RESULTS["serving_poseformer_us_per_clip"] = round(
+        dt / (steps * batch_size) * 1e6, 3)
+    RESULTS["serving_poseformer_clips_per_sec"] = round(
+        batch_size * steps / dt, 2)
+    return dt
 
 
 def task_host_pipeline(num_clips=16384, batch=BATCH, epochs=2):
@@ -984,6 +1038,9 @@ def main():
             _run_task("resident_pipeline", task_resident_pipeline,
                       min_budget_s=120)
             _run_task("classification", task_classification, min_budget_s=150)
+            _run_task("classification_bf16",
+                      lambda: task_classification(precision="bf16"),
+                      min_budget_s=120)
         _run_task("headline_xla", lambda: _headline_step_rate("xla"),
                   min_budget_s=120)
         if not os.environ.get("BENCH_HEADLINE_ONLY"):
@@ -992,6 +1049,8 @@ def main():
             _run_task("seq2seq_ae", lambda: task_seq2seq("32"),
                       min_budget_s=120)
             _run_task("serving", task_serving, min_budget_s=120)
+            _run_task("serving_poseformer", task_serving_poseformer,
+                      min_budget_s=120)
             # lower-priority precision variants only with budget to spare
             _run_task("poseformer_fp32", lambda: task_poseformer("32"),
                       min_budget_s=240)
