@@ -268,6 +268,64 @@ class Hdf5DataModule(BaseDataModule):
         and epoch)."""
         return jax.jit(self._resident_gather(training))
 
+    def _preprocess_deterministic(self, training: bool) -> bool:
+        """True when ``process_batch`` consumes no randomness for this
+        config (no augmentation in effect, no deformation noise, no
+        missing-joint injection) — every preprocessing op is then a pure
+        per-clip map, so it can be hoisted out of the epoch entirely."""
+        cfg = self.preprocessing
+        if training and (cfg.augment_flip or cfg.augment_rotate):
+            return False
+        if cfg.noise not in ("zero", None) \
+                or cfg.missing_joint_probabilities:
+            return False
+        return True
+
+    def _resident_preprocessed(self, name: str, training: bool):
+        """Whole-subset preprocessed trees (r5, VERDICT r4 #3): when the
+        preprocess is deterministic, run it ONCE over the full resident
+        subset and serve epochs as pure row gathers. ``lax.scan`` bodies
+        execute serially on a TPU core, so the fused per-step
+        gather+preprocess added ~0.3 µs/clip inline to every train step
+        (epoch 576k vs bare-step 679k clips/s, tools/resident_scan_probe);
+        hoisted, the per-epoch data path is just three ``jnp.take``s.
+        Bit-identical: per-clip deterministic maps commute with row
+        selection (covered by the resident-vs-host parity test)."""
+        cache = getattr(self, "_resident_pre", None)
+        if cache is None:
+            cache = self._resident_pre = {}
+        ckey = (name, training)
+        if ckey not in cache:
+            proj_d, targets_d, meta_d = self._resident[name]
+            import jax.numpy as jnp
+            clip_size = None
+            if "clip_width" in meta_d:
+                clip_size = jnp.stack(
+                    [meta_d["clip_width"], meta_d["clip_height"]],
+                    axis=-1).astype(jnp.float32)
+            inputs, proc_targets = process_batch(
+                jax.random.PRNGKey(0), proj_d, self.preprocessing, training,
+                bboxes=targets_d.get("bboxes"), clip_size=clip_size)
+            cache[ckey] = (inputs, {**targets_d, **proc_targets}, meta_d)
+        return cache[ckey]
+
+    def _resident_gather_pre(self):
+        """Row gather over already-preprocessed resident trees (the
+        deterministic-preprocess fast path; same signature as
+        :meth:`_resident_gather` so the scan runner is agnostic)."""
+        import jax.numpy as jnp
+        batch_size = self.batch_size
+
+        def gather(key, order, b, inputs, targets, meta):
+            idx = jax.lax.dynamic_slice_in_dim(order, b * batch_size,
+                                               batch_size)
+            return (jnp.take(inputs, idx, axis=0),
+                    {k: jnp.take(v, idx, axis=0)
+                     for k, v in targets.items()},
+                    {k: jnp.take(v, idx, axis=0) for k, v in meta.items()})
+
+        return gather
+
     def resident_scan_inputs(self, name: str, shuffle: bool, training: bool,
                              seed: int = 0):
         """Everything a scan-folded epoch runner needs for one epoch over a
@@ -293,6 +351,9 @@ class Hdf5DataModule(BaseDataModule):
             num_batches += 1
             order = np.resize(order, num_batches * self.batch_size)
         order_d = jax.device_put(jnp.asarray(order, jnp.int32))
+        if self._preprocess_deterministic(training):
+            return (self._resident_gather_pre(), key, order_d, num_batches,
+                    self._resident_preprocessed(name, training))
         return (self._resident_gather(training), key, order_d, num_batches,
                 (proj_d, targets_d, meta_d))
 
@@ -301,11 +362,13 @@ class Hdf5DataModule(BaseDataModule):
         spec = self.resident_scan_inputs(name, shuffle, training, seed)
         if spec is None:
             return
-        _, key, order_d, num_batches, trees = spec
-        fn = self._resident_fns.get(training)
+        gather, key, order_d, num_batches, trees = spec
+        # the jitted per-batch fn must match the spec's gather flavor (the
+        # deterministic-preprocess path serves PRE-processed trees)
+        fkey = (training, self._preprocess_deterministic(training))
+        fn = self._resident_fns.get(fkey)
         if fn is None:
-            fn = self._resident_fns[training] = self._make_resident_fn(
-                training)
+            fn = self._resident_fns[fkey] = jax.jit(gather)
         for b in range(num_batches):
             yield fn(key, order_d, b, *trees)
 

@@ -647,6 +647,422 @@ def _vjp_bwd_slab(num_heads, residuals, g):
 _fused_block_slab_p.defvjp(_vjp_fwd_slab, _vjp_bwd_slab)
 
 
+# ---------------------------------------------------------------------------
+# token-leading slab layout (r5, VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+# The (D, T, Np) slabs above put the T=9 window tokens in the SUBLANE dim,
+# which pads to the 16-sublane bf16 quantum: every slab operand (x, x2, g,
+# dx, out — in HBM between blocks AND as VMEM block refs) physically
+# carries 16/9 = 1.78x its logical bytes, and the kernels' entry
+# ``reshape(D, T*BB)`` is a real relayout of that padded tile pattern.
+# Token-leading (T, D, Np) slabs have ZERO padding — T is the untiled
+# leading dim, D=832 divides the 16-sublane quantum, Np the 128-lane
+# quantum — and every per-token operand ``ref[t]`` is a free (D, BB)
+# plane: the layout the attention/LN math already wanted (lane index =
+# window). Dense layers run per token (T matmuls of M=BB instead of one
+# of M=T*BB; K and N unchanged, so MXU utilization holds), and the
+# backward halves' VMEM live sets shrink by the same 44%, which is what
+# lets the attention half run the forward's 256-lane grid block
+# (the r4 padded-layout attempt missed VMEM by ~2 MB).
+
+#: slab layout switch for the on-chip A/B: "tl" (token-leading, default)
+#: or "legacy" ((D, T, Np) with padded sublanes)
+LAYOUT = os.environ.get("PVC_TEMPORAL_LAYOUT", "tl")
+
+
+def _prep_tl(x, block_n):
+    """(N, T, D) token-major -> padding-free (T, D, Np) slabs."""
+    n = x.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return jnp.transpose(x, (1, 2, 0)), n + pad
+
+
+def _x_spec_tl(T, D, BB):
+    return pl.BlockSpec((T, D, BB), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _probs_tl(qkv_ts, num_heads):
+    """Softmax probabilities from per-token (3D, BB) planes; same tile math
+    as :func:`_probs_lanes` with the column slices replaced by free
+    leading-dim plane reads."""
+    T = len(qkv_ts)
+    D = qkv_ts[0].shape[0] // 3
+    H = num_heads
+    HD = D // H
+    scale = float(HD) ** -0.5
+    f32 = jnp.float32
+    BB = qkv_ts[0].shape[1]
+
+    probs = []
+    for tq in range(T):
+        qs = qkv_ts[tq][:D].astype(f32) * scale
+        row = []
+        for tk in range(T):
+            prod = qs * qkv_ts[tk][D:2 * D].astype(f32)
+            row.append(jnp.sum(prod.reshape(HD, H, BB), axis=0))  # (H, BB)
+        m = functools.reduce(jnp.maximum, row)
+        e = [jnp.exp(s - m) for s in row]
+        inv = 1.0 / functools.reduce(jnp.add, e)
+        probs.append([ei * inv for ei in e])
+    return probs
+
+
+def _attn_o_col(qkv_ts, probs, tq, num_heads):
+    """One attention-output column o_tq (D, BB) fp32 from per-token qkv."""
+    D = qkv_ts[0].shape[0] // 3
+    H = num_heads
+    HD = D // H
+    BB = qkv_ts[0].shape[1]
+    acc = None
+    for tk in range(len(qkv_ts)):
+        vt = qkv_ts[tk][2 * D:].astype(jnp.float32)
+        contrib = vt.reshape(HD, H, BB) * probs[tq][tk][None]
+        acc = contrib if acc is None else acc + contrib
+    return acc.reshape(D, BB)
+
+
+def _fwd_kernel_tl(x_ref, *refs, num_heads, save_x2):
+    """Forward on a (T, D, BB) token-leading block: per-token LN + qkv,
+    lane-tile attention, then a fully per-token residual/MLP stream (only
+    one token's (D/MLP, BB) intermediates live at a time beside the qkv
+    planes)."""
+    w_refs = refs[:NUM_WEIGHTS]
+    out_ref = refs[NUM_WEIGHTS]
+    x2_ref = refs[NUM_WEIGHTS + 1] if save_x2 else None
+    T, D, BB = x_ref.shape
+    cdtype = x_ref.dtype
+    f32 = jnp.float32
+    wd_a = _wd_attn(w_refs[:6])
+    wd_m = _wd_mlp(w_refs[6:])
+
+    qkv_ts = []
+    for t in range(T):
+        _, _, y1 = _ln_fwd(x_ref[t].astype(f32), wd_a["ln1_s"],
+                           wd_a["ln1_b"])
+        qkv_ts.append(_dense(wd_a["qkv_w"], wd_a["qkv_b"], y1,
+                             cdtype).astype(cdtype))
+    probs = _probs_tl(qkv_ts, num_heads)
+    for tq in range(T):
+        o = _attn_o_col(qkv_ts, probs, tq, num_heads).astype(cdtype)
+        a = _dense(wd_a["proj_w"], wd_a["proj_b"], o, cdtype)
+        x2 = x_ref[tq].astype(f32) + a
+        if save_x2:
+            x2_ref[tq] = x2.astype(cdtype)
+        _, _, y2 = _ln_fwd(x2, wd_m["ln2_s"], wd_m["ln2_b"])
+        h = _dense(wd_m["fc1_w"], wd_m["fc1_b"], y2, cdtype)
+        u = _dense(wd_m["fc2_w"], wd_m["fc2_b"], _gelu(h), cdtype)
+        out_ref[tq] = (x2 + u).astype(cdtype)
+
+
+def _bwd_mlp_kernel_tl(x2_ref, *refs, num_heads):
+    """MLP-half backward on token-leading blocks: the r4 column-streaming
+    ``fori_loop`` (the measured winner for this half), minus the flat
+    staging copies — token columns are now direct dynamic-index reads of
+    the (T, D, BB) refs, and dx2 columns store straight to the output ref
+    instead of round-tripping a scratch slab. Per-token (y2, gelu, dh, du)
+    columns still stage into flat scratch for the two end-of-kernel
+    weight-grad matmuls."""
+    del num_heads
+    w_refs = refs[:6]
+    g_ref = refs[6]
+    dx2_ref = refs[7]
+    dw_refs = refs[8:14]
+    y2_scr, g_scr, dh_scr, du_scr = refs[14:]
+    T, D, BB = x2_ref.shape
+    cdtype = x2_ref.dtype
+    dot_dx, dot_dw = _dots(cdtype)
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    wd = _wd_mlp(w_refs)
+    MLP = wd["fc1_w"].shape[1]
+
+    def cs(t):
+        return pl.ds(pl.multiple_of(t * BB, BB), BB)
+
+    def col(ref, t):  # dynamic leading-index read: (T, D, BB)[t] -> (D, BB)
+        return ref[pl.ds(t, 1)][0]
+
+    def body(t, carry):
+        dln2_s, dln2_b, dfc1_b, dfc2_b = carry
+        x2 = col(x2_ref, t).astype(f32)
+        _, inv2, xh2, y2 = _ln_col_fwd(x2, wd["ln2_s"], wd["ln2_b"])
+        y2_scr[:, cs(t)] = y2.astype(cdtype)
+        h = _dense(wd["fc1_w"], wd["fc1_b"], y2.astype(cdtype), cdtype)
+        g_scr[:, cs(t)] = _gelu(h).astype(cdtype)
+        du = col(g_ref, t).astype(f32)
+        du_scr[:, cs(t)] = du.astype(cdtype)
+        dgl = dot_dx(wd["fc2_w"], du)
+        dh = dgl * _dgelu(h)
+        dh_scr[:, cs(t)] = dh.astype(cdtype)
+        dy2 = dot_dx(wd["fc1_w"], dh.astype(cdtype))
+        dx2_ref[pl.ds(t, 1)] = (du + _ln_bwd(dy2, xh2, inv2, wd["ln2_s"])
+                                ).astype(cdtype)[None]
+        return (dln2_s + jnp.sum(dy2 * xh2, axis=1),
+                dln2_b + jnp.sum(dy2, axis=1),
+                dfc1_b + jnp.sum(dh, axis=1),
+                dfc2_b + jnp.sum(du, axis=1))
+
+    dln2_s, dln2_b, dfc1_b, dfc2_b = jax.lax.fori_loop(
+        0, T, body, (jnp.zeros((D,), f32), jnp.zeros((D,), f32),
+                     jnp.zeros((MLP,), f32), jnp.zeros((D,), f32)))
+    # dw_refs order: (ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b)
+    _flush_one(dw_refs[0], dln2_s)
+    _flush_one(dw_refs[1], dln2_b)
+    _flush_one(dw_refs[2], dot_dw(y2_scr[:], dh_scr[:]))
+    _flush_one(dw_refs[3], dfc1_b)
+    _flush_one(dw_refs[4], dot_dw(g_scr[:], du_scr[:]))
+    _flush_one(dw_refs[5], dfc2_b)
+
+
+def _attn_bwd_stream_tl(do_ts, qkv_ts, num_heads, T, consume, probs):
+    """Token-leading mirror of :func:`_attn_bwd_stream`: operands are
+    per-token plane lists instead of flat-slab column slices."""
+    D = qkv_ts[0].shape[0] // 3
+    H = num_heads
+    HD = D // H
+    scale = float(HD) ** -0.5
+    f32 = jnp.float32
+    BB = qkv_ts[0].shape[1]
+
+    def h3(x):
+        return x.reshape(HD, H, BB)
+
+    def lane(base, t):
+        return qkv_ts[t][base:base + D].astype(f32)
+
+    dp = [[jnp.sum(h3(do_ts[tq] * lane(2 * D, tk)), axis=0)
+           for tk in range(T)] for tq in range(T)]
+    ds = [None] * T
+    for tq in range(T):
+        c = functools.reduce(jnp.add,
+                             (dp[tq][tk] * probs[tq][tk] for tk in range(T)))
+        ds[tq] = [probs[tq][tk] * (dp[tq][tk] - c) for tk in range(T)]
+
+    for t in range(T):
+        dq = functools.reduce(jnp.add, (h3(lane(D, tk)) * ds[t][tk][None]
+                                        for tk in range(T)))
+        dk = functools.reduce(jnp.add, (h3(lane(0, tq)) * ds[tq][t][None]
+                                        for tq in range(T)))
+        dv = functools.reduce(jnp.add, (h3(do_ts[tq]) * probs[tq][t][None]
+                                        for tq in range(T)))
+        consume(t, jnp.concatenate(
+            [dq.reshape(D, BB) * scale, dk.reshape(D, BB) * scale,
+             dv.reshape(D, BB)], axis=0))
+
+
+def _bwd_attn_kernel_tl(x_ref, *refs, num_heads):
+    """Attention-half backward on token-leading blocks: the r4 unrolled
+    streaming structure (the measured winner for this half — the softmax
+    tiles couple tokens, so a fori restructure loses MXU/VPU overlap)
+    with all slab operands as free per-token plane reads. The 44% VMEM
+    cut vs the padded layout is what admits BLOCK_N_BWD_ATTN = the
+    forward's 256."""
+    w_refs = refs[:6]
+    g_ref = refs[6]
+    dx_ref = refs[7]
+    dw_refs = refs[8:14]
+    (dy1_scr,) = refs[14:]
+    T, D, BB = x_ref.shape
+    cdtype = x_ref.dtype
+    dot_dx, dot_dw = _dots(cdtype)
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    wd = _wd_attn(w_refs)
+    xh1_ts, inv1_ts, y1_ts, qkv_ts = [], [], [], []
+    for t in range(T):
+        xh1, inv1, y1 = _ln_fwd(x_ref[t].astype(f32), wd["ln1_s"],
+                                wd["ln1_b"])
+        xh1_ts.append(xh1)
+        inv1_ts.append(inv1)
+        y1_ts.append(y1.astype(cdtype))
+        qkv_ts.append(_dense(wd["qkv_w"], wd["qkv_b"], y1,
+                             cdtype).astype(cdtype))
+    probs = _probs_tl(qkv_ts, num_heads)
+    do_ts = []
+    dWp = None
+    dpb = None
+    for tq in range(T):
+        da = g_ref[tq].astype(f32)
+        do_ts.append(dot_dx(wd["proj_w"], da))
+        o_col = _attn_o_col(qkv_ts, probs, tq, num_heads).astype(cdtype)
+        pc = dot_dw(o_col, da)
+        dWp = pc if dWp is None else dWp + pc
+        bs = jnp.sum(da, axis=1)
+        dpb = bs if dpb is None else dpb + bs
+    _flush_one(dw_refs[4], dWp)
+    _flush_one(dw_refs[5], dpb)
+    acc = {"qkv_w": None, "qkv_b": None}
+
+    def consume(t, dqkv_col):
+        dy1_scr[t] = dot_dx(wd["qkv_w"], dqkv_col)
+        contrib = dot_dw(y1_ts[t], dqkv_col)
+        acc["qkv_w"] = contrib if acc["qkv_w"] is None \
+            else acc["qkv_w"] + contrib
+        csum = jnp.sum(dqkv_col, axis=1)
+        acc["qkv_b"] = csum if acc["qkv_b"] is None \
+            else acc["qkv_b"] + csum
+
+    _attn_bwd_stream_tl(do_ts, qkv_ts, num_heads, T, consume, probs)
+    _flush_one(dw_refs[2], acc["qkv_w"])
+    _flush_one(dw_refs[3], acc["qkv_b"])
+    dls = None
+    dlb = None
+    for t in range(T):
+        dy1 = dy1_scr[t]
+        s_c = jnp.sum(dy1 * xh1_ts[t], axis=1)
+        b_c = jnp.sum(dy1, axis=1)
+        dls = s_c if dls is None else dls + s_c
+        dlb = b_c if dlb is None else dlb + b_c
+        dx = g_ref[t].astype(f32) + _ln_bwd(dy1, xh1_ts[t], inv1_ts[t],
+                                            wd["ln1_s"])
+        dx_ref[t] = dx.astype(cdtype)
+    _flush_one(dw_refs[0], dls)
+    _flush_one(dw_refs[1], dlb)
+
+
+def _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=False):
+    """Forward on an already-padded (T, D, Np) slab; returns slab(s)."""
+    T, D, Np = xt.shape
+    bn = _fit_block(Np, _block_n(Np, BLOCK_N_FWD))
+    wl = _lift(wp)
+    out_shape = [jax.ShapeDtypeStruct((T, D, Np), xt.dtype)]
+    out_specs = [_x_spec_tl(T, D, bn)]
+    if save_x2:
+        out_shape.append(jax.ShapeDtypeStruct((T, D, Np), xt.dtype))
+        out_specs.append(_x_spec_tl(T, D, bn))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_tl, num_heads=num_heads,
+                          save_x2=save_x2),
+        out_shape=out_shape,
+        grid=(Np // bn,),
+        in_specs=[_x_spec_tl(T, D, bn)] + [_w_spec(w) for w in wl],
+        out_specs=out_specs,
+        compiler_params=_COMPILER,
+        interpret=jax.default_backend() != "tpu",
+    )(xt, *wl)
+    outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    return (outs[0], outs[1]) if save_x2 else outs[0]
+
+
+def _bwd_impl_slab_tl(xt, x2t, wp, gt, num_heads):
+    """Backward on already-padded (T, D, Np) slabs; returns (dx slab, dws).
+    Same two-pallas-call split as the legacy layout (one fused backward
+    spills); the attention half now runs the same width as the MLP half."""
+    T, D, Np = xt.shape
+    bn_mlp = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_MLP))
+    bn_attn = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_ATTN_TL))
+    wl = _lift(wp)
+    wl_attn, wl_mlp = wl[:6], wl[6:]
+
+    def half(kernel, x_in, w6, g_in, extra_scratch, bn):
+        dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w6]
+        return pl.pallas_call(
+            functools.partial(kernel, num_heads=num_heads),
+            out_shape=[jax.ShapeDtypeStruct((T, D, Np), xt.dtype)]
+            + dw_shapes,
+            grid=(Np // bn,),
+            in_specs=[_x_spec_tl(T, D, bn)] + [_w_spec(w) for w in w6]
+            + [_x_spec_tl(T, D, bn)],
+            out_specs=[_x_spec_tl(T, D, bn)] + [_w_spec(w) for w in w6],
+            scratch_shapes=extra_scratch,
+            compiler_params=_COMPILER,
+            interpret=jax.default_backend() != "tpu",
+        )(x_in, *w6, g_in)
+
+    cdtype = xt.dtype
+    MLP = wp[8].shape[1]  # fc1_w (D, MLP)
+    mlp_scratch = [pltpu.VMEM((D, T * bn_mlp), cdtype),        # y2
+                   pltpu.VMEM((MLP, T * bn_mlp), cdtype),      # gelu(h)
+                   pltpu.VMEM((MLP, T * bn_mlp), cdtype),      # dh
+                   pltpu.VMEM((D, T * bn_mlp), cdtype)]        # du
+    dx2, *dw_mlp = half(_bwd_mlp_kernel_tl, x2t, wl_mlp, gt, mlp_scratch,
+                        bn_mlp)
+    dx, *dw_attn = half(_bwd_attn_kernel_tl, xt, wl_attn, dx2,
+                        [pltpu.VMEM((T, D, bn_attn), jnp.float32)],
+                        bn_attn)
+    dws = list(dw_attn) + list(dw_mlp)
+    return dx, tuple(dw.reshape(w.shape).astype(w.dtype)
+                     for dw, w in zip(dws, wp))
+
+
+#: token-leading attn-half backward width: the 44% VMEM cut admits the
+#: forward's width (the padded layout OOMed at 256 by ~2 MB)
+BLOCK_N_BWD_ATTN_TL = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN_TL",
+                                         256))
+
+
+def _fwd_impl_tl(x, wp, num_heads, save_x2=False):
+    N, T, D = x.shape
+    bn = _block_n(N, BLOCK_N_FWD)
+    xt, Np = _prep_tl(x, bn)
+    outs = _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=save_x2)
+    if save_x2:
+        return (jnp.transpose(outs[0], (2, 0, 1))[:N],
+                jnp.transpose(outs[1], (2, 0, 1))[:N])
+    return jnp.transpose(outs, (2, 0, 1))[:N]
+
+
+def _bwd_impl_tl(x, x2, wp, g, num_heads):
+    N, T, D = x.shape
+    bn = _block_n(N, max(BLOCK_N_BWD_MLP, BLOCK_N_BWD_ATTN_TL))
+    xt, Np = _prep_tl(x, bn)
+    x2t, _ = _prep_tl(x2, bn)
+    gt, _ = _prep_tl(g, bn)
+    dx, dws = _bwd_impl_slab_tl(xt, x2t, wp, gt, num_heads)
+    return jnp.transpose(dx, (2, 0, 1))[:N], dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_block_tl_p(x, wp, num_heads):
+    return _fwd_impl_tl(x, wp, num_heads)
+
+
+def _vjp_fwd_tl(x, wp, num_heads):
+    y, x2 = _fwd_impl_tl(x, wp, num_heads, save_x2=True)
+    return y, (x, x2, wp)
+
+
+def _vjp_bwd_tl(num_heads, residuals, g):
+    x, x2, wp = residuals
+    return _bwd_impl_tl(x, x2, wp, g, num_heads)
+
+
+_fused_block_tl_p.defvjp(_vjp_fwd_tl, _vjp_bwd_tl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_block_slab_tl_p(xt, wp, num_heads):
+    """Slab-resident token-leading block: (T, D, Np) in/out."""
+    return _fwd_impl_slab_tl(xt, wp, num_heads)
+
+
+def _vjp_fwd_slab_tl(xt, wp, num_heads):
+    y, x2 = _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=True)
+    return y, (xt, x2, wp)
+
+
+def _vjp_bwd_slab_tl(num_heads, residuals, g):
+    xt, x2, wp = residuals
+    return _bwd_impl_slab_tl(xt, x2, wp, g, num_heads)
+
+
+_fused_block_slab_tl_p.defvjp(_vjp_fwd_slab_tl, _vjp_bwd_slab_tl)
+
+
 def _permute(weights, num_heads):
     """(head, dim) -> (dim, head) feature order for q/k/v columns and proj
     rows — plain gathers OUTSIDE the custom_vjp, so their transpose is
@@ -671,7 +1087,10 @@ def fused_temporal_block(x, weights, num_heads):
     backward). Exact flax ``_Block`` math except dropout (gate at the
     caller). Apply depth times for a stack; the final LayerNorm stays a
     plain flax module (one cheap XLA op)."""
-    return _fused_block_p(x, _permute(weights, num_heads), num_heads)
+    wp = _permute(weights, num_heads)
+    if LAYOUT == "tl":
+        return _fused_block_tl_p(x, wp, num_heads)
+    return _fused_block_p(x, wp, num_heads)
 
 
 def fused_temporal_stack(x, weights_list, num_heads):
@@ -682,6 +1101,14 @@ def fused_temporal_stack(x, weights_list, num_heads):
     back and forth between every pair of blocks — and for x/x2/g again in
     the backward). ``weights_list``: one 12-tuple per block."""
     N = x.shape[0]
+    if LAYOUT == "tl":
+        bn = max(_block_n(N, BLOCK_N_FWD), _block_n(N, BLOCK_N_BWD_MLP),
+                 _block_n(N, BLOCK_N_BWD_ATTN_TL))
+        xt, _ = _prep_tl(x, bn)
+        for wp in weights_list:
+            xt = _fused_block_slab_tl_p(xt, _permute(wp, num_heads),
+                                        num_heads)
+        return jnp.transpose(xt, (2, 0, 1))[:N]
     # pad once to a multiple every fwd/bwd block width divides
     bn = max(_block_n(N, BLOCK_N_FWD), _block_n(N, BLOCK_N_BWD_MLP),
              _block_n(N, BLOCK_N_BWD_ATTN))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 def build_scan_runner(flow, gather: Callable, k: int,
                       constrain: Optional[Callable] = None,
                       state_shardings: Any = None,
-                      prefetch: bool = True):
+                      prefetch: bool = False):
     """jit-compiled ``(state, rng, key, order, b0, proj, targets, meta) ->
     (state, stacked_logs)`` running ``k`` consecutive training steps.
 
@@ -39,19 +39,16 @@ def build_scan_runner(flow, gather: Callable, k: int,
     ``k`` and reuse across chunks/epochs (jit caches on the wrapper's
     identity, not the spec's per-epoch key/order arguments).
 
-    ``prefetch=True`` (r5, VERDICT r4 #3): the chunk's K gathers +
-    preprocessings run as ONE vmapped op BEFORE the scan, which then
-    carries only bare train steps. ``lax.scan`` iterations execute
-    strictly serially, so in the fused form every step paid the data
-    path inline (~38% of the r4 epoch wall: 445k vs the 778k bare-step
-    ceiling); hoisted, the K-batch preprocess vectorizes into a handful
-    of big kernels. Batches stay bit-identical — the same
-    ``fold_in(key, b)``/``dynamic_slice`` math runs under ``vmap`` over
-    the batch-index vector, and per-clip preprocessing reduces over
-    (frame, joint) axes only, so batching cannot reorder any reduction
-    (asserted by ``tests/test_runtime.py::test_resident_scan_matches_
-    per_batch``). Costs K× batch HBM for the staged chunk (~54 MB at
-    K=16, B=1024) — far below the resident subset itself."""
+    ``prefetch=True`` runs the chunk's K gathers + preprocessings as ONE
+    vmapped op BEFORE a scan of bare train steps (bit-identical: the same
+    ``fold_in(key, b)``/``dynamic_slice`` math under ``vmap``, and
+    per-clip preprocessing reduces over (frame, joint) axes only —
+    asserted by ``tests/test_runtime.py``). Measured on the real chip
+    it LOSES ~2% (tools/resident_scan_probe, two independent runs:
+    565k/556k vs 576k/575k clips/s fused): a TPU core executes ops
+    serially either way, so the hoist only trades the inline data path
+    for an HBM round-trip of the staged (K, B, ...) chunk. Default off;
+    kept for A/B and for hosts where the staging write is free."""
 
     def run(state, rng, key, order, b0, proj, targets, meta):
         def step(state, batch):

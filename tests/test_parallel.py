@@ -489,6 +489,86 @@ def test_fused_graph_gru_sharded_matches_single(rng):
             np.asarray(a), np.asarray(b), atol=1e-4), gp, gp_single)
 
 
+def test_resident_scan_folded_epoch_under_mesh(tmp_path, rng):
+    """The scan-folded epoch engine (``runtime/resident_scan.py``) under
+    the data x model mesh must produce a bit-identical trajectory to
+    per-batch sharded iteration (r5, VERDICT r4 #6: every dryrun config
+    ran per-batch steps; the Trainer's --device_resident epochs had no
+    multi-device coverage)."""
+    from pedestrians_video_2_carla_tpu.data.base.hdf5_utils import save_subset
+    from pedestrians_video_2_carla_tpu.data.base.subsets_datamodule import \
+        SubsetsDataModule
+    from pedestrians_video_2_carla_tpu.flows.pose_lifting import \
+        PoseLiftingFlow
+    from pedestrians_video_2_carla_tpu.losses import LossModes
+    from pedestrians_video_2_carla_tpu.models.base import OptimizerSettings
+    from pedestrians_video_2_carla_tpu.models.movements import \
+        MOVEMENTS_MODELS
+    from pedestrians_video_2_carla_tpu.parallel.mesh import (constrain_batch,
+                                                             shard_state,
+                                                             state_shardings)
+    from pedestrians_video_2_carla_tpu.runtime.resident_scan import \
+        build_scan_runner
+    from pedestrians_video_2_carla_tpu.skeletons import CARLA_SKELETON
+
+    n = 32
+    save_subset(str(tmp_path / "train.hdf5"),
+                rng.normal(size=(n, 4, 26, 2)).astype(np.float32) + 300,
+                {}, {"age": ["adult"] * n, "gender": ["female"] * n})
+    dm = SubsetsDataModule(subsets_dir=str(tmp_path), batch_size=8,
+                           clip_length=4, data_nodes=CARLA_SKELETON,
+                           device_resident=True)
+    dm.prepare_data()
+    dm.setup("fit")
+
+    flow = PoseLiftingFlow(
+        movements_model=MOVEMENTS_MODELS["Linear"](),
+        loss_modes=[LossModes.loc_2d],
+        movements_optimizer=OptimizerSettings(lr=1e-2))
+
+    def make_state():
+        first = next(iter(dm.train_batches(seed=3)))
+        return flow.init_state(jax.random.PRNGKey(0), first)
+
+    rng_step = jax.random.PRNGKey(7)
+    mesh = make_mesh(MeshConfig(model_axis_size=2))
+    with mesh:
+        spec = dm.resident_scan_inputs("train", shuffle=True, training=True,
+                                       seed=3)
+        gather, key, order_d, nb, trees = spec
+        assert nb == 4
+
+        # per-batch sharded trajectory (the trainer's streamed recipe)
+        state_a = shard_state(mesh, make_state())
+        sshard = state_shardings(mesh, state_a)
+        step = jax.jit(
+            lambda s, b, r: flow.training_step(s, constrain_batch(mesh, b),
+                                               r),
+            out_shardings=(sshard, None))
+        gfn = jax.jit(gather)
+        logs_a = []
+        for b in range(nb):
+            state_a, logs = step(state_a, gfn(key, order_d, b, *trees),
+                                 rng_step)
+            logs_a.append(jax.device_get(logs))
+
+        # the whole epoch as ONE scan-folded dispatch, same mesh recipe
+        state_b = shard_state(mesh, make_state())
+        runner = build_scan_runner(
+            flow, gather, k=nb,
+            constrain=lambda bb: constrain_batch(mesh, bb),
+            state_shardings=sshard)
+        state_b, stack = runner(state_b, rng_step, key, order_d, 0, *trees)
+        stack = jax.device_get(stack)
+
+    for j, la in enumerate(logs_a):
+        for k in la:
+            np.testing.assert_array_equal(la[k], stack[k][j], err_msg=k)
+    for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
