@@ -284,12 +284,11 @@ class PoseFormer(MovementsModel):
 
         # gather per-frame embeddings into sliding windows for the temporal
         # transformer: frames as tokens
-        windows = self._windows(s.reshape(B, L, frame_dim))  # (B, W, rf, D)
-        t = windows.reshape(B * W, rf, frame_dim)
-        t = t + self.param("temporal_pos_embed",
-                           nn.initializers.truncated_normal(0.02),
-                           (1, rf, frame_dim))
-        t = nn.Dropout(self.drop_rate, deterministic=not training)(t)
+        s_flat = s.reshape(B, L, frame_dim)
+        pos_embed = self.param("temporal_pos_embed",
+                               nn.initializers.truncated_normal(0.02),
+                               (1, rf, frame_dim))
+        t_dtype = jnp.promote_types(s_flat.dtype, pos_embed.dtype)
         t_kernel = self.temporal_kernel
         if t_kernel == "auto":
             # bf16 only: the fused temporal blocks are sized to VMEM for
@@ -298,16 +297,26 @@ class PoseFormer(MovementsModel):
             # 128 MB VMEM at ANY batch (widths can't halve below the
             # 128-lane quantum), so fp32 "auto" keeps the flax blocks
             t_kernel = "pallas" if (jax.default_backend() == "tpu"
-                                    and t.dtype == jnp.bfloat16
+                                    and t_dtype == jnp.bfloat16
                                     and not block_dropout) else "xla"
+
+        def build_t():
+            # (B*W, rf, D) window tokens for the XLA/legacy paths (the
+            # outer Dropout is identity on any pallas path: block_dropout
+            # gates it off)
+            windows = self._windows(s_flat)                # (B, W, rf, D)
+            tt = windows.reshape(B * W, rf, frame_dim) + pos_embed
+            return nn.Dropout(self.drop_rate,
+                              deterministic=not training)(tt)
+
+        w_major = False
         if t_kernel == "pallas":
             if block_dropout:
                 raise ValueError(
                     "temporal_kernel='pallas' implements no dropout inside "
                     "the fused blocks; train with drop_rate=0/"
                     "attn_drop_rate=0 or temporal_kernel='xla'/'auto'")
-            from ...ops.pallas.fused_temporal_transformer import \
-                fused_temporal_stack
+            from ...ops.pallas import fused_temporal_transformer as ftt
             hidden_t = int(frame_dim * self.mlp_ratio)
             weights_list = []
             for i in range(self.depth):
@@ -316,26 +325,70 @@ class PoseFormer(MovementsModel):
                 flat = (ln1[0], ln1[1], qkv[0], qkv[1], proj[0], proj[1],
                         ln2[0], ln2[1], fc1[0], fc1[1], fc2[0], fc2[1])
                 weights_list.append(jax.tree_util.tree_map(
-                    lambda w: w.astype(t.dtype), flat))
-            # slab-resident stack: one (N,T,D)<->(D,T,Np) layout round-trip
-            # for the whole depth instead of one per block per pass
-            t = fused_temporal_stack(t, weights_list, self.num_heads)
+                    lambda w: w.astype(t_dtype), flat))
+            if ftt.LAYOUT == "tl":
+                # slab-resident end to end (r5): window token t is the
+                # contiguous lane range [t*B, (t+W)*B) of the frame-major
+                # (D, L*B) flat embeddings (lane = l*B + b), so the
+                # sliding-window gather + pos-embed + entry transpose
+                # collapse into one small relayout + rf free lane slices;
+                # the stack returns its (T, D, Np) slab, LN runs with
+                # feature axis 1, the token mean is a leading-axis
+                # contraction, and only the pooled (D, N) transposes back.
+                # The (N, rf, D) intermediates this replaces re-padded the
+                # 9-token sublane axis to 16 (~217 MB/pass at B1024) and
+                # the stack round-trip re-laid out 122 MB per direction.
+                # Token order is w-major (n = w*B + b) — undone at `out`.
+                # Param tree identical: same names, same shapes.
+                sd = jnp.transpose(s_flat.astype(t_dtype),
+                                   (2, 1, 0)).reshape(frame_dim, L * B)
+                pe = pos_embed[0].astype(t_dtype)      # (rf, D)
+                slab = jnp.stack(
+                    [sd[:, t0 * B:(t0 + W) * B] + pe[t0][:, None]
+                     for t0 in range(rf)], axis=0)
+                slab, n = ftt.fused_temporal_stack_from_slabs(
+                    slab, weights_list, self.num_heads)
+                slab = nn.LayerNorm(epsilon=1e-5, reduction_axes=1,
+                                    feature_axes=1,
+                                    name="temporal_norm")(slab)
+                w = self.param("weighted_mean",
+                               nn.initializers.normal(0.02), (rf,))
+                w_b = self.param("weighted_mean_bias",
+                                 nn.initializers.zeros, (1,))
+                pooled = (jnp.einsum("tdn,t->dn", slab,
+                                     w.astype(slab.dtype)).T + w_b)[:n]
+                w_major = True
+            else:
+                # slab-resident stack: one (N,T,D)<->(D,T,Np) layout
+                # round-trip for the whole depth instead of one per block
+                # per pass
+                t = ftt.fused_temporal_stack(build_t(), weights_list,
+                                             self.num_heads)
+                pooled = None
         else:
+            t = build_t()
             for i in range(self.depth):
                 t = Block(frame_dim, self.num_heads, self.mlp_ratio,
                           self.drop_rate, self.attn_drop_rate,
                           name=f"temporal_block_{i}")(t, training)
-        t = _LayerNorm(name="temporal_norm")(t)
+            pooled = None
+        if pooled is None:
+            t = _LayerNorm(name="temporal_norm")(t)
 
-        # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1, 1),
-        # including its scalar bias for checkpoint compatibility)
-        w = self.param("weighted_mean", nn.initializers.normal(0.02), (rf,))
-        w_b = self.param("weighted_mean_bias", nn.initializers.zeros, (1,))
-        pooled = jnp.einsum("nfd,f->nd", t, w) + w_b  # (BW, frame_dim)
+            # weighted mean over the rf frames (PoseFormer's Conv1d(rf, 1,
+            # 1), including its scalar bias for checkpoint compatibility)
+            w = self.param("weighted_mean", nn.initializers.normal(0.02),
+                           (rf,))
+            w_b = self.param("weighted_mean_bias", nn.initializers.zeros,
+                             (1,))
+            pooled = jnp.einsum("nfd,f->nd", t, w) + w_b  # (BW, frame_dim)
 
         out = nn.Dense(J * self._out_features, name="head")(
             _LayerNorm(name="head_norm")(pooled))
-        out = out.reshape(B, W, J, self._out_features)
+        if w_major:  # slab path rows are n = w*B + b
+            out = out.reshape(W, B, J, self._out_features).swapaxes(0, 1)
+        else:
+            out = out.reshape(B, W, J, self._out_features)
 
         # scatter window-center predictions to their frame positions; edge
         # frames keep zeros (exactly what eval_slice trims — reference

@@ -937,7 +937,7 @@ def _bwd_attn_kernel_tl(x_ref, *refs, num_heads):
 def _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=False):
     """Forward on an already-padded (T, D, Np) slab; returns slab(s)."""
     T, D, Np = xt.shape
-    bn = _fit_block(Np, _block_n(Np, BLOCK_N_FWD))
+    bn = _fit_block(Np, _block_n(Np, BLOCK_N_FWD_TL))
     wl = _lift(wp)
     out_shape = [jax.ShapeDtypeStruct((T, D, Np), xt.dtype)]
     out_specs = [_x_spec_tl(T, D, bn)]
@@ -1000,14 +1000,20 @@ def _bwd_impl_slab_tl(xt, x2t, wp, gt, num_heads):
 
 
 #: token-leading attn-half backward width: the 44% VMEM cut admits the
-#: forward's width (the padded layout OOMed at 256 by ~2 MB)
+#: forward's 256 (the padded layout OOMed at 256 by ~2 MB); 512 OOMs.
 BLOCK_N_BWD_ATTN_TL = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN_TL",
                                          256))
+#: token-leading forward width: 512 measured fastest (21.4 -> 20.3 ms
+#: fwd/stack at PoseFormer B1024 bf16 shapes); MLP-half backward keeps 256
+#: (512 exceeds VMEM by 7.5 MB — 31 MB of spill slots + 3 double-buffered
+#: 14.6 MB windows). Widths must divide the padded slab length, so the
+#: usable ladder at N=8192 is powers of two.
+BLOCK_N_FWD_TL = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD_TL", 512))
 
 
 def _fwd_impl_tl(x, wp, num_heads, save_x2=False):
     N, T, D = x.shape
-    bn = _block_n(N, BLOCK_N_FWD)
+    bn = _block_n(N, BLOCK_N_FWD_TL)
     xt, Np = _prep_tl(x, bn)
     outs = _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=save_x2)
     if save_x2:
@@ -1018,7 +1024,8 @@ def _fwd_impl_tl(x, wp, num_heads, save_x2=False):
 
 def _bwd_impl_tl(x, x2, wp, g, num_heads):
     N, T, D = x.shape
-    bn = _block_n(N, max(BLOCK_N_BWD_MLP, BLOCK_N_BWD_ATTN_TL))
+    bn = _block_n(N, max(BLOCK_N_FWD_TL, BLOCK_N_BWD_MLP,
+                         BLOCK_N_BWD_ATTN_TL))
     xt, Np = _prep_tl(x, bn)
     x2t, _ = _prep_tl(x2, bn)
     gt, _ = _prep_tl(g, bn)
@@ -1102,7 +1109,7 @@ def fused_temporal_stack(x, weights_list, num_heads):
     the backward). ``weights_list``: one 12-tuple per block."""
     N = x.shape[0]
     if LAYOUT == "tl":
-        bn = max(_block_n(N, BLOCK_N_FWD), _block_n(N, BLOCK_N_BWD_MLP),
+        bn = max(_block_n(N, BLOCK_N_FWD_TL), _block_n(N, BLOCK_N_BWD_MLP),
                  _block_n(N, BLOCK_N_BWD_ATTN_TL))
         xt, _ = _prep_tl(x, bn)
         for wp in weights_list:
@@ -1116,6 +1123,31 @@ def fused_temporal_stack(x, weights_list, num_heads):
     for wp in weights_list:
         xt = _fused_block_slab_p(xt, _permute(wp, num_heads), num_heads)
     return jnp.transpose(xt, (2, 1, 0))[:N]
+
+
+def fused_temporal_stack_from_slabs(slab, weights_list, num_heads):
+    """Slab-in, slab-out stack: (T, D, N) -> ((T, D, Np), N).
+
+    Token-leading layout only. The caller builds the input slab straight
+    from its own data layout (PoseFormer: window tokens are contiguous
+    lane ranges of the frame-major (D, L*B) per-frame embeddings) and
+    runs slab-friendly head math on the output — LayerNorm over the
+    feature axis is axis 1, token pooling a leading-axis contraction —
+    transposing only the pooled (D, N) result. Skipping the (N, T, D)
+    round-trips avoids a 122 MB relayout per direction per pass at
+    PoseFormer B1024 shapes AND XLA re-padding the 9-token sublane axis
+    to 16 for every op outside the kernel."""
+    if LAYOUT != "tl":
+        raise ValueError("fused_temporal_stack_from_slabs requires the "
+                         "token-leading layout (PVC_TEMPORAL_LAYOUT=tl)")
+    T, D, N = slab.shape
+    bn = max(_block_n(N, BLOCK_N_FWD_TL), _block_n(N, BLOCK_N_BWD_MLP),
+             _block_n(N, BLOCK_N_BWD_ATTN_TL))
+    pad = (-N) % bn
+    xt = jnp.pad(slab, ((0, 0), (0, 0), (0, pad))) if pad else slab
+    for wp in weights_list:
+        xt = _fused_block_slab_tl_p(xt, _permute(wp, num_heads), num_heads)
+    return xt, N
 
 
 def temporal_block_reference(x, weights, num_heads):

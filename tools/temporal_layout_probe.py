@@ -32,7 +32,8 @@ from pedestrians_video_2_carla_tpu.ops.pallas import \
 
 N, T, D, HEADS, DEPTH = 8192, 9, 832, 8, 4
 MLP = 2 * D
-DTYPE = jnp.bfloat16
+DTYPE = (jnp.float32 if os.environ.get("PVC_PROBE_DTYPE") == "fp32"
+         else jnp.bfloat16)
 
 
 def make_weights(key):
