@@ -189,7 +189,13 @@ class PoseFormer(MovementsModel):
     #: glue around every op; the kernel measured 54.7 -> 26.1 ms fwd /
     #: 166.3 -> 96.6 ms fwd+bwd for the depth-4 stack at the B1024 bench
     #: shape (8192, 9, 832) — 1.47x the whole bf16 train step (5.5k -> 8.1k
-    #: clips/s). Same dropout/"auto" rules as ``spatial_kernel``; the param
+    #: clips/s). r5: the default token-leading slab layout cuts the stack
+    #: to 78.9 ms fwd+bwd (bf16; fp32 85.4 at half-width grids) and the
+    #: whole stage runs slab-resident — windows are built as lane slices
+    #: of the frame embeddings and the head pools on the slab — for
+    #: full-step 10.2k clips/s bf16 / 9.4k fp32 (the "auto" kernel now
+    #: covers BOTH precisions; fp32 on the legacy padded layout still
+    #: OOMs). Same dropout/"auto" rules as ``spatial_kernel``; the param
     #: tree is identical either way.
     temporal_kernel: str = "auto"
     movements_output_type: MovementsModelOutputType = \
@@ -291,13 +297,17 @@ class PoseFormer(MovementsModel):
         t_dtype = jnp.promote_types(s_flat.dtype, pos_embed.dtype)
         t_kernel = self.temporal_kernel
         if t_kernel == "auto":
-            # bf16 only: the fused temporal blocks are sized to VMEM for
-            # bf16 slabs (fwd 256 / bwd 256+128 windows per grid step) —
-            # fp32 doubles every buffer and the backward halves exceed the
-            # 128 MB VMEM at ANY batch (widths can't halve below the
-            # 128-lane quantum), so fp32 "auto" keeps the flax blocks
+            # both precisions under the token-leading layout (r5): fp32
+            # runs half the bf16 grid widths for the same VMEM footprint
+            # (ops/pallas/fused_temporal_transformer._tl_widths) and the
+            # full fp32 train step measured 9,408 vs 4,090 clips/s on the
+            # flax blocks (B1024; the legacy padded layout OOMed fp32 at
+            # any width — that negative result is obsolete)
+            from ...ops.pallas import fused_temporal_transformer as _ftt
+            ok_dtype = (t_dtype == jnp.bfloat16
+                        or (t_dtype == jnp.float32 and _ftt.LAYOUT == "tl"))
             t_kernel = "pallas" if (jax.default_backend() == "tpu"
-                                    and t_dtype == jnp.bfloat16
+                                    and ok_dtype
                                     and not block_dropout) else "xla"
 
         def build_t():

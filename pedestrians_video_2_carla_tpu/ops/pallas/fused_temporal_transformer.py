@@ -937,7 +937,7 @@ def _bwd_attn_kernel_tl(x_ref, *refs, num_heads):
 def _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=False):
     """Forward on an already-padded (T, D, Np) slab; returns slab(s)."""
     T, D, Np = xt.shape
-    bn = _fit_block(Np, _block_n(Np, BLOCK_N_FWD_TL))
+    bn = _fit_block(Np, _block_n(Np, _tl_widths(xt.dtype)[0]))
     wl = _lift(wp)
     out_shape = [jax.ShapeDtypeStruct((T, D, Np), xt.dtype)]
     out_specs = [_x_spec_tl(T, D, bn)]
@@ -963,8 +963,9 @@ def _bwd_impl_slab_tl(xt, x2t, wp, gt, num_heads):
     Same two-pallas-call split as the legacy layout (one fused backward
     spills); the attention half now runs the same width as the MLP half."""
     T, D, Np = xt.shape
-    bn_mlp = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_MLP))
-    bn_attn = _fit_block(Np, _block_n(Np, BLOCK_N_BWD_ATTN_TL))
+    _, w_mlp, w_attn = _tl_widths(xt.dtype)
+    bn_mlp = _fit_block(Np, _block_n(Np, w_mlp))
+    bn_attn = _fit_block(Np, _block_n(Np, w_attn))
     wl = _lift(wp)
     wl_attn, wl_mlp = wl[:6], wl[6:]
 
@@ -1011,9 +1012,22 @@ BLOCK_N_BWD_ATTN_TL = int(os.environ.get("PVC_TEMPORAL_BLOCK_BWD_ATTN_TL",
 BLOCK_N_FWD_TL = int(os.environ.get("PVC_TEMPORAL_BLOCK_FWD_TL", 512))
 
 
+def _tl_widths(dtype):
+    """(fwd, mlp-bwd, attn-bwd) grid widths for the token-leading layout.
+    fp32 doubles every buffer, so it runs HALF the bf16 widths for the
+    same VMEM footprint — which compiles and runs where the legacy padded
+    layout OOMed at any width (r4 negative result, now obsolete): measured
+    85.4 ms/stack fwd+bwd fp32 vs 78.9 bf16 at PoseFormer B1024 shapes."""
+    if dtype == jnp.float32:
+        return (max(128, BLOCK_N_FWD_TL // 2),
+                max(128, BLOCK_N_BWD_MLP // 2),
+                max(128, BLOCK_N_BWD_ATTN_TL // 2))
+    return (BLOCK_N_FWD_TL, BLOCK_N_BWD_MLP, BLOCK_N_BWD_ATTN_TL)
+
+
 def _fwd_impl_tl(x, wp, num_heads, save_x2=False):
     N, T, D = x.shape
-    bn = _block_n(N, BLOCK_N_FWD_TL)
+    bn = _block_n(N, _tl_widths(x.dtype)[0])
     xt, Np = _prep_tl(x, bn)
     outs = _fwd_impl_slab_tl(xt, wp, num_heads, save_x2=save_x2)
     if save_x2:
@@ -1024,8 +1038,7 @@ def _fwd_impl_tl(x, wp, num_heads, save_x2=False):
 
 def _bwd_impl_tl(x, x2, wp, g, num_heads):
     N, T, D = x.shape
-    bn = _block_n(N, max(BLOCK_N_FWD_TL, BLOCK_N_BWD_MLP,
-                         BLOCK_N_BWD_ATTN_TL))
+    bn = _block_n(N, max(_tl_widths(x.dtype)))
     xt, Np = _prep_tl(x, bn)
     x2t, _ = _prep_tl(x2, bn)
     gt, _ = _prep_tl(g, bn)
@@ -1109,8 +1122,7 @@ def fused_temporal_stack(x, weights_list, num_heads):
     the backward). ``weights_list``: one 12-tuple per block."""
     N = x.shape[0]
     if LAYOUT == "tl":
-        bn = max(_block_n(N, BLOCK_N_FWD_TL), _block_n(N, BLOCK_N_BWD_MLP),
-                 _block_n(N, BLOCK_N_BWD_ATTN_TL))
+        bn = max(_block_n(N, w) for w in _tl_widths(x.dtype))
         xt, _ = _prep_tl(x, bn)
         for wp in weights_list:
             xt = _fused_block_slab_tl_p(xt, _permute(wp, num_heads),
@@ -1141,8 +1153,7 @@ def fused_temporal_stack_from_slabs(slab, weights_list, num_heads):
         raise ValueError("fused_temporal_stack_from_slabs requires the "
                          "token-leading layout (PVC_TEMPORAL_LAYOUT=tl)")
     T, D, N = slab.shape
-    bn = max(_block_n(N, BLOCK_N_FWD_TL), _block_n(N, BLOCK_N_BWD_MLP),
-             _block_n(N, BLOCK_N_BWD_ATTN_TL))
+    bn = max(_block_n(N, w) for w in _tl_widths(slab.dtype))
     pad = (-N) % bn
     xt = jnp.pad(slab, ((0, 0), (0, 0), (0, pad))) if pad else slab
     for wp in weights_list:
