@@ -307,8 +307,10 @@ class GConvLSTM(_GraphGatedRecurrent):
     # all four gates convolve h -> the whole step is one fused matmul
     _hidden_groups = (("i", "f", "c", "o"),)
     _pallas_cell = "lstm"
-    # kernel wins BOTH precisions here (fp32 1.40x, bf16 1.50x): the LSTM's
-    # rolled scan has no unroll win to fall back on (see scan_unroll note)
+    # kernel wins BOTH precisions here; r5 re-probe on the slab-resident
+    # path: fp32 2.86x (16.2k -> 46.4k clips/s), bf16 2.96x (25.6k ->
+    # 75.7k) on the B256/L16 train step — the LSTM's rolled scan has no
+    # unroll win to fall back on (see scan_unroll note)
     _pallas_auto_dtypes = (jnp.float32, jnp.bfloat16)
 
     def _pallas_scan_slabs(self, fg, xg, a_ops, params, J):

@@ -103,10 +103,14 @@ class HoistedLSTM(nn.Module):
     #: ``initial_carry`` falls back to the XLA scan). Kernel adds are
     #: reassociated vs the flax cell (bit-identical is only guaranteed on
     #: the XLA path). Measured on the B256/L16/H64 2-layer LSTM classifier
-    #: train step (tools/graph_gru_kernel_probe.py LSTM): fp32 0.87x
-    #: (kernel LOSES — the XLA scan at these small shapes is already
-    #: latency-lean), bf16 1.07x — so "auto" picks the kernel on TPU only
-    #: under bf16 compute with H >= 32.
+    #: train step (tools/graph_gru_kernel_probe.py LSTM): the kernel
+    #: LOSES both dtypes — fp32 0.87x originally, and the r5 re-probe
+    #: (after the GNN family's slab-resident restructure, which this
+    #: dense k=1 path shares) measured 0.92x/0.91x fp32/bf16: the XLA
+    #: scan at these small shapes is already latency-lean. The pre-r5
+    #: bf16 1.07x was measured on the old relayout-heavy call path, so
+    #: "auto" now keeps the XLA scan everywhere; "pallas" remains the
+    #: explicit override.
     kernel: str = "auto"
 
     def _use_kernel(self, initial_carry, dtype) -> bool:
@@ -114,8 +118,7 @@ class HoistedLSTM(nn.Module):
             return False
         if self.kernel == "pallas":
             return True
-        return (self.kernel == "auto" and jax.default_backend() == "tpu"
-                and self.features >= 32 and dtype == jnp.bfloat16)
+        return False  # "auto": XLA measured faster at both precisions
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
