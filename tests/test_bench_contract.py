@@ -6,7 +6,16 @@ import json
 import threading
 from contextlib import redirect_stdout
 
+import pytest
+
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _detail_file_in_tmp(tmp_path, monkeypatch):
+    """_emit() writes BENCH_DETAIL.json to bench._REPO; keep test runs from
+    clobbering the repo-root artifact the driver's real bench produces."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
 
 
 def _fresh(limit_s=100.0):
