@@ -41,7 +41,7 @@ run data-misc tests/data tests/skeletons tests/test_losses.py \
 run runtime-serving tests/test_runtime.py tests/test_serving.py \
   tests/test_training.py tests/test_multihost.py tests/golden
 # test_parallel: 8 virtual devices + conv models; three chunks (~61/404/? s)
-run parallel-a tests/test_parallel.py -k "not dryrun and not sharded_matches_single"
+run parallel-a tests/test_parallel.py -k "not dryrun and not sharded_matches_single and not resident_scan_folded"
 run parallel-b tests/test_parallel.py -k "pose_lifting_sharded or pallas_projection_sharded or pallas_train_kernel_sharded"
 run parallel-c tests/test_parallel.py -k "classification_gnn_sharded or pose_estimation_conv_sharded or fused_temporal_block_sharded or fused_graph_gru_sharded or resident_scan_folded or dryrun"
 
